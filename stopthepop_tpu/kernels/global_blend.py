@@ -1,0 +1,226 @@
+"""Pallas TPU kernel: GLOBAL sort-mode tile blend, forward.
+
+TPU-native re-architecture of the reference's renderCUDA (forward.cu:234-366):
+
+  * one Pallas grid step per 16x16 tile (the CUDA block) — but instead of 256
+    threads each running a sequential early-exit blend loop, the whole tile is
+    blended with vectorized chunk math: alphas for a [256 pixels x CH
+    gaussians] block at once (pixels on the sublane axis, gaussians on the
+    lane axis);
+  * the front-to-back transmittance recurrence becomes an inclusive prefix
+    product computed in log space with a triangular matmul on the MXU
+    (cumsum along lanes = X @ U, U upper-triangular ones) — mathematically
+    identical to the sequential loop (see render/naive.py for the
+    masked-cumprod equivalence argument);
+  * the CUDA __shared__ staging of 256 Gaussians (forward.cu:271-302) maps to
+    a VMEM double buffer fed by async DMA from the sorted pair payload in
+    HBM, with per-tile dynamic trip counts (no wasted fetches on short
+    tiles).
+
+Payload layout (feature-major so chunk DMAs slice the 128-aligned lane axis):
+  payload [16, C_padded] float32, rows =
+    0 xy.x | 1 xy.y | 2 conic.a | 3 conic.b | 4 conic.c | 5 opacity |
+    6 r | 7 g | 8 b | 9.. zero padding
+Output: [num_tiles, 8, 256] packed rows =
+  (r, g, b, final_T, n_contrib, 0, 0, 0), pixels row-major within the tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (
+    ALPHA_MAX,
+    ALPHA_THRESHOLD,
+    T_THRESHOLD,
+    TILE_PIXELS,
+    TILE_X,
+    TILE_Y,
+)
+
+PAYLOAD_F = 16  # payload feature rows (padded to a friendly sublane count)
+
+
+def _upper_tri(ch: int, dtype=jnp.float32):
+    """M[i, j] = 1 iff i <= j, so (x @ M) is an inclusive cumsum over lanes."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
+    return (row <= col).astype(dtype)
+
+
+def _tile_pixel_coords(tx, ty):
+    """(pixf_x, pixf_y) [256, 1] for in-tile row-major pixel order."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, 1), 0)
+    pixf_x = (tx * TILE_X + j % TILE_X).astype(jnp.float32)
+    pixf_y = (ty * TILE_Y + j // TILE_X).astype(jnp.float32)
+    return pixf_x, pixf_y
+
+
+def _chunk_alpha(data, pixf_x, pixf_y, count_rem):
+    """Effective alphas for one payload chunk.
+
+    data [16, CH] payload columns; rows past ``count_rem`` are padding.
+    Returns eff [256, CH]. Matches forward.cu:312-325 (skip if factor < 0,
+    clamp at 0.99, skip if alpha < 1/255).
+    """
+    ch = data.shape[1]
+    dx = data[0:1, :] - pixf_x  # [256, CH]
+    dy = data[1:2, :] - pixf_y
+    a = data[2:3, :]
+    b = data[3:4, :]
+    c = data[4:5, :]
+    opw = data[5:6, :]
+    factor = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, opw * jnp.exp(-factor))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+    ok = (factor >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (col < count_rem)
+    return jnp.where(ok, alpha, 0.0)
+
+
+def _blend_chunk(eff, tri, T_carry):
+    """Prefix-product transmittance for one chunk (lanes = gaussians).
+
+    Returns (U inclusive [256, CH], T_before exclusive, commit mask,
+    T_new [256, 1]).
+    """
+    logu = jnp.dot(eff_log := jnp.log1p(-eff), tri, preferred_element_type=jnp.float32)
+    del eff_log  # clarity: logu = log1p(-eff) @ tri
+    U = T_carry * jnp.exp(logu)
+    T_before = U / (1.0 - eff)  # eff <= 0.99 so the division is safe
+    commit = U >= T_THRESHOLD
+    T_new = jnp.minimum(
+        T_carry, jnp.min(jnp.where(commit, U, jnp.inf), axis=1, keepdims=True)
+    )
+    return U, T_before, commit, T_new
+
+
+def _fwd_kernel(
+    starts_ref, counts_ref, bg_ref,  # scalar prefetch (SMEM)
+    payload_ref,                     # HBM [16, C_pad]
+    out_ref,                         # VMEM block [1, 8, 256]
+    buf, sems,                       # scratch: [2, 16, CH] VMEM, 2 DMA sems
+    *, chunk: int, grid_x: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    rounds = pl.cdiv(count, chunk)
+    tx = t % grid_x
+    ty = t // grid_x
+    pixf_x, pixf_y = _tile_pixel_coords(tx, ty)
+    tri = _upper_tri(chunk)
+
+    def get_dma(slot, k):
+        # Segment starts are 128-aligned by construction (align_segments);
+        # the hint lets Mosaic prove the lane-axis slice is tile-aligned.
+        offset = pl.multiple_of(start + k * chunk, 128)
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(offset, chunk)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(rounds > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(k, carry):
+        T, C, nc = carry  # [256,1], [256,3], [256,1]
+        slot = k % 2
+
+        @pl.when(k + 1 < rounds)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        data = buf[slot]  # [16, CH]
+        eff = _chunk_alpha(data, pixf_x, pixf_y, count - k * chunk)
+        U, T_before, commit, T_new = _blend_chunk(eff, tri, T)
+        w = eff * T_before * commit  # [256, CH]
+        C = C + jax.lax.dot_general(
+            w, data[6:9, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        pos = (k * chunk + col + 1).astype(jnp.float32)
+        contrib = commit & (eff > 0.0)
+        nc = jnp.maximum(
+            nc, jnp.max(jnp.where(contrib, pos, 0.0), axis=1, keepdims=True)
+        )
+        return T_new, C, nc
+
+    T, C, nc = jax.lax.fori_loop(
+        0,
+        rounds,
+        body,
+        (
+            jnp.ones((TILE_PIXELS, 1), jnp.float32),
+            jnp.zeros((TILE_PIXELS, 3), jnp.float32),
+            jnp.zeros((TILE_PIXELS, 1), jnp.float32),
+        ),
+    )
+    packed = jnp.concatenate(
+        [
+            C[:, 0:1] + T * bg_ref[0],
+            C[:, 1:2] + T * bg_ref[1],
+            C[:, 2:3] + T * bg_ref[2],
+            T,
+            nc,
+            jnp.zeros((TILE_PIXELS, 3), jnp.float32),
+        ],
+        axis=1,
+    )  # [256, 8]
+    out_ref[0] = packed.T
+
+
+def blend_global_forward(
+    payload: jnp.ndarray,   # [16, C_pad] f32 (padded by >= chunk columns)
+    starts: jnp.ndarray,    # [T] int32
+    counts: jnp.ndarray,    # [T] int32
+    bg: jnp.ndarray,        # [3] f32
+    *,
+    grid_x: int,
+    grid_y: int,
+    chunk: int = 256,
+    interpret: bool = False,
+):
+    """Run the forward blend kernel. Returns packed [T, 8, 256]."""
+    num_tiles = grid_x * grid_y
+    kernel = functools.partial(_fwd_kernel, chunk=chunk, grid_x=grid_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, PAYLOAD_F, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, TILE_PIXELS), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, counts, bg, payload)
+
+
+def unpack_image(packed, grid_x: int, grid_y: int, width: int, height: int):
+    """[T, 8, 256] packed tiles -> (color [3, H, W], final_T [H, W],
+    n_contrib [H, W] int32)."""
+    t = packed.reshape(grid_y, grid_x, 8, TILE_Y, TILE_X)
+    full = jnp.transpose(t, (2, 0, 3, 1, 4)).reshape(
+        8, grid_y * TILE_Y, grid_x * TILE_X
+    )
+    color = full[0:3, :height, :width]
+    final_t = full[3, :height, :width]
+    n_contrib = full[4, :height, :width].astype(jnp.int32)
+    return color, final_t, n_contrib

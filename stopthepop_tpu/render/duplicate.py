@@ -1,0 +1,230 @@
+"""Gaussian→tile pair expansion ("duplication") with static shapes.
+
+TPU-native re-design of the reference's two duplication kernels
+(forward.cu:25-65 duplicateWithKeysCUDA and stopthepop_common.cuh:324-621
+duplicateWithKeys_extended):
+
+The reference sizes its pair buffer with a device→host read of the scanned
+tile counts (rasterizer_impl.cu:316-321) — a mid-pipeline host sync that XLA
+cannot express. Here the buffer has a *static capacity* and the pair→Gaussian
+rank mapping is branch-free: scatter one mark at each Gaussian's cumulative
+offset and take an inclusive cumsum —
+
+    g[i] = #{j : offsets[j] <= i}  ==  cumsum(scatter(ones at offsets))[i]
+
+(equivalent to a searchsorted, but XLA lowers searchsorted to a while-loop of
+serial gathers that costs ~30 ms at production sizes on TPU; the
+scatter+cumsum form is a single vectorized pass). Slots past ``num_rendered``
+(and tile-culled pairs) get the INVALID_TILE_ID sentinel and sort to the end —
+the reference's own under-fill trick (stopthepop_common.cuh:504-508).
+Overflow past capacity is detected and reported instead of silently dropped.
+
+Per-Gaussian values are fetched at pair rank through two *packed* tables (one
+int32, one f32) so the pair domain sees a constant number of wide gathers
+instead of a dozen narrow ones (TPU gathers cost per-row, not per-byte).
+
+The warp-cooperative load-balancing path (stopthepop_common.cuh:516-621) has
+no TPU analog because this formulation is already perfectly balanced: every
+pair slot costs the same work regardless of how many tiles its Gaussian
+touches.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import GlobalSortOrder
+from ..constants import INVALID_TILE_ID, TILE_X, TILE_Y
+from ..ops.sort import sort_pairs
+from ..ops.stopthepop import (
+    max_contrib_power_rect,
+    per_tile_depth,
+    tile_rect_bounds,
+)
+from .preprocess import PreprocessOutput
+
+
+def rank_expand(offsets_inclusive: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """g[i] = number of offsets <= i, for i in [0, capacity).
+
+    Branch-free searchsorted(offsets, arange(capacity), side='right').
+    """
+    marks = jnp.zeros((capacity,), jnp.int32).at[offsets_inclusive].add(
+        1, mode="drop"
+    )
+    return jnp.cumsum(marks)
+
+
+class AlignedSegments(NamedTuple):
+    """Per-tile pair segments re-laid-out at ``align``-pair boundaries.
+
+    The Pallas blend kernels DMA payload chunks along the (128-wide) lane
+    axis, so every tile's segment must start at a 128-aligned offset. This is
+    a pure gather re-indexing of the sorted pair list (no scatter): slot s of
+    tile t maps back to sorted pair ``starts[t] + (s - aligned_start[t])``.
+    """
+
+    gauss_id: jnp.ndarray   # [C_aligned] int32 (clamped where invalid)
+    valid: jnp.ndarray      # [C_aligned] bool
+    starts: jnp.ndarray     # [num_tiles] int32, each a multiple of align
+    counts: jnp.ndarray     # [num_tiles] int32 exact (unaligned) counts
+
+
+class PairBuffer(NamedTuple):
+    tile_id: jnp.ndarray   # [C] int32, sorted; INVALID_TILE_ID padding
+    depth: jnp.ndarray     # [C] float32, sorted within tiles
+    gauss_id: jnp.ndarray  # [C] int32 Gaussian index (clamped where invalid)
+    valid: jnp.ndarray     # [C] bool
+    starts: jnp.ndarray    # [num_tiles] int32 per-tile range start
+    ends: jnp.ndarray      # [num_tiles] int32 per-tile range end
+    num_rendered: jnp.ndarray  # [] int32 — exact pair count (pre-capacity)
+    overflow: jnp.ndarray  # [] bool — num_rendered > capacity
+
+
+def count_pairs(prep: PreprocessOutput) -> jnp.ndarray:
+    """Exact number of (Gaussian, tile) pairs the rect expansion produces."""
+    return jnp.sum(prep.tiles_touched)
+
+
+def build_pairs(
+    prep: PreprocessOutput,
+    *,
+    capacity: int,
+    grid_x: int,
+    grid_y: int,
+    sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
+    tile_based_culling: bool = False,
+    campos=None,
+    inverse_vp=None,
+    image_width: int = 0,
+    image_height: int = 0,
+) -> PairBuffer:
+    """Expand, optionally tile-cull, key and sort all Gaussian/tile pairs."""
+    num_tiles = grid_x * grid_y
+    offsets = jnp.cumsum(prep.tiles_touched).astype(jnp.int32)  # inclusive [P]
+    num_rendered = offsets[-1] if prep.tiles_touched.size else jnp.int32(0)
+    P = prep.tiles_touched.shape[0]
+
+    i = jnp.arange(capacity, dtype=jnp.int32)
+    g = jnp.clip(rank_expand(offsets, capacity), 0, P - 1)
+
+    # One packed int gather per pair instead of several narrow ones.
+    int_tab = jnp.stack(
+        [
+            jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-1]]),
+            prep.rect_min[:, 0],
+            prep.rect_min[:, 1],
+            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
+            prep.valid.astype(jnp.int32),
+        ],
+        axis=1,
+    )  # [P, 5]
+    ig = int_tab[g]
+    base, rmin_x, rmin_y, width, gvalid = (ig[:, k] for k in range(5))
+    local = i - base
+    ty = rmin_y + local // width
+    tx = rmin_x + local % width
+    tile_id = ty * grid_x + tx
+
+    valid = (i < num_rendered) & (gvalid > 0)
+
+    need_power = tile_based_culling or sort_order == GlobalSortOrder.PTD_MAX
+    need_ptd = sort_order in (GlobalSortOrder.PTD_CENTER, GlobalSortOrder.PTD_MAX)
+
+    f_cols = [prep.depth]
+    if need_power:
+        f_cols += [
+            prep.mean2d[:, 0],
+            prep.mean2d[:, 1],
+            prep.conic_opacity[:, 0],
+            prep.conic_opacity[:, 1],
+            prep.conic_opacity[:, 2],
+            prep.conic_opacity[:, 3],
+            prep.opacity_power_threshold,
+        ]
+    if need_ptd:
+        f_cols += [prep.cov3d_inv9[:, k] for k in range(9)]
+    f_tab = jnp.stack(f_cols, axis=1)  # [P, F]
+    fg = f_tab[g]
+    depth = fg[:, 0]
+
+    if need_power:
+        conic_opac = fg[:, 3:7]
+        mean2d = fg[:, 1:3]
+        power_thresh = fg[:, 7]
+        tile_min, tile_max = tile_rect_bounds(tx, ty)
+        power, max_pos = max_contrib_power_rect(
+            conic_opac, mean2d, tile_min, tile_max
+        )
+        if tile_based_culling:
+            valid = valid & (power <= power_thresh)
+
+    if need_ptd:
+        cov3d_inv9 = fg[:, -9:]
+        if sort_order == GlobalSortOrder.PTD_CENTER:
+            # Center of the inclusive pixel rect: (tx*16 + 7.5, ty*16 + 7.5).
+            target = jnp.stack(
+                [
+                    tx.astype(jnp.float32) * TILE_X + (TILE_X - 1) / 2.0,
+                    ty.astype(jnp.float32) * TILE_Y + (TILE_Y - 1) / 2.0,
+                ],
+                axis=-1,
+            )
+        else:
+            target = max_pos
+        depth = per_tile_depth(
+            target, cov3d_inv9, campos, image_width, image_height, inverse_vp
+        )
+
+    tile_id = jnp.where(valid, tile_id, INVALID_TILE_ID).astype(jnp.int32)
+    depth_key = jnp.where(valid, depth, jnp.inf).astype(jnp.float32)
+
+    s_tile, s_depth, s_gid = sort_pairs(tile_id, depth_key, g)
+
+    # Per-tile counts by scatter-add (invalid ids fall outside and drop);
+    # sorted-by-tile order makes starts an exclusive cumsum.
+    counts_t = jnp.zeros((num_tiles,), jnp.int32).at[tile_id].add(
+        valid.astype(jnp.int32), mode="drop"
+    )
+    incl = jnp.cumsum(counts_t)
+    starts = (incl - counts_t).astype(jnp.int32)
+    return PairBuffer(
+        tile_id=s_tile,
+        depth=s_depth,
+        gauss_id=s_gid,
+        valid=s_tile != INVALID_TILE_ID,
+        starts=starts,
+        ends=incl.astype(jnp.int32),
+        num_rendered=num_rendered.astype(jnp.int32),
+        overflow=num_rendered > capacity,
+    )
+
+
+def align_segments(
+    pairs: PairBuffer, num_tiles: int, capacity_out: int, align: int = 128
+) -> AlignedSegments:
+    """Re-index the sorted pair list into align-padded per-tile segments.
+
+    ``capacity_out`` must be >= capacity + num_tiles * align (static).
+    """
+    counts = (pairs.ends - pairs.starts).astype(jnp.int32)
+    aligned = ((counts + align - 1) // align) * align
+    incl = jnp.cumsum(aligned)
+    seg_starts = (incl - aligned).astype(jnp.int32)
+
+    s = jnp.arange(capacity_out, dtype=jnp.int32)
+    t = jnp.clip(rank_expand(incl, capacity_out), 0, num_tiles - 1)
+
+    tile_tab = jnp.stack([seg_starts, pairs.starts, counts], axis=1)  # [T, 3]
+    tg = tile_tab[t]
+    off = s - tg[:, 0]
+    valid = off < tg[:, 2]
+    src = jnp.clip(tg[:, 1] + off, 0, pairs.gauss_id.shape[0] - 1)
+    return AlignedSegments(
+        gauss_id=pairs.gauss_id[src],
+        valid=valid,
+        starts=seg_starts,
+        counts=counts,
+    )

@@ -1,0 +1,110 @@
+"""Tiled rendering pipeline: preprocess -> duplicate -> sort -> Pallas blend.
+
+This is the production path (the analog of Rasterizer::forward,
+rasterizer_impl.cu:221-413) with TPU-native stages:
+
+  stage          reference                         here
+  -------------  --------------------------------  ---------------------------
+  preprocess     preprocessCUDA (1 thread/gauss)   vectorized jnp (autodiff)
+  scan+alloc     CUB InclusiveSum + D2H resize     static capacity + cumsum
+  duplicate      duplicateWithKeys[_extended]      searchsorted pair expansion
+  sort           CUB DeviceRadixSort (64-bit key)  lax.sort two-key lexicographic
+  ranges         identifyTileRanges kernel         searchsorted + 128-aligned
+                                                   segment re-layout
+  render         renderCUDA et al                  Pallas tile kernels
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import GlobalSortOrder
+from ..constants import TILE_X, TILE_Y
+from ..kernels.global_blend import (
+    PAYLOAD_F,
+    blend_global_forward,
+    unpack_image,
+)
+from .duplicate import (
+    AlignedSegments,
+    PairBuffer,
+    align_segments,
+    build_pairs,
+)
+from .preprocess import PreprocessOutput
+
+SEGMENT_ALIGN = 128
+
+
+def tile_grid(width: int, height: int):
+    return (width + TILE_X - 1) // TILE_X, (height + TILE_Y - 1) // TILE_Y
+
+
+def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int):
+    """Gather the feature-major blend payload [16, C_aligned + chunk].
+
+    A differentiable gather: its VJP scatter-adds payload gradients back to
+    the per-Gaussian arrays, which is exactly the role of the reference's
+    atomicAdd gradient accumulation (backward.cu:561-592) — but deterministic.
+    The trailing ``chunk`` zero columns let the kernel's fixed-size DMA read
+    past the final segment.
+    """
+    ids = segs.gauss_id
+    table = jnp.concatenate(
+        [prep.mean2d, prep.conic_opacity, prep.rgb], axis=1
+    )  # [P, 9] — one wide gather beats nine narrow ones on TPU
+    feats = table[ids].T  # [9, C_aligned]
+    feats = jnp.concatenate(
+        [feats, jnp.zeros((PAYLOAD_F - 9, ids.shape[0]), jnp.float32)], axis=0
+    )
+    return jnp.pad(feats, ((0, 0), (0, chunk)))
+
+
+def render_tiled(
+    prep: PreprocessOutput,
+    bg: jnp.ndarray,
+    *,
+    image_width: int,
+    image_height: int,
+    capacity: int,
+    sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
+    tile_based_culling: bool = False,
+    campos=None,
+    inverse_vp=None,
+    chunk: int = 256,
+    interpret: bool = False,
+):
+    """GLOBAL-mode tiled render. Returns (color, final_T, n_contrib, pairs)."""
+    grid_x, grid_y = tile_grid(image_width, image_height)
+    num_tiles = grid_x * grid_y
+    pairs = build_pairs(
+        prep,
+        capacity=capacity,
+        grid_x=grid_x,
+        grid_y=grid_y,
+        sort_order=sort_order,
+        tile_based_culling=tile_based_culling,
+        campos=campos,
+        inverse_vp=inverse_vp,
+        image_width=image_width,
+        image_height=image_height,
+    )
+    capacity_aligned = capacity + num_tiles * SEGMENT_ALIGN
+    segs = align_segments(pairs, num_tiles, capacity_aligned, SEGMENT_ALIGN)
+    payload = build_payload(prep, segs, chunk)
+    packed = blend_global_forward(
+        payload,
+        segs.starts,
+        segs.counts,
+        bg,
+        grid_x=grid_x,
+        grid_y=grid_y,
+        chunk=chunk,
+        interpret=interpret,
+    )
+    color, final_t, n_contrib = unpack_image(
+        packed, grid_x, grid_y, image_width, image_height
+    )
+    return color, final_t, n_contrib, pairs
