@@ -1,0 +1,63 @@
+"""Differentiable blend op: custom VJP pairing the Pallas fwd/bwd kernels.
+
+The custom-VJP seam sits exactly where the reference splits its hand-written
+backward (SURVEY.md §3.2): blend-level gradients w.r.t. {mean2D, conic,
+opacity, color} are produced by the backward kernel; everything upstream
+(gather -> preprocess) is plain jnp and differentiates automatically, which
+replaces the reference's entire preprocess backward (backward.cu:146-434).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .global_blend import blend_global_backward, blend_global_forward
+
+
+def _int_zero_tangent(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@functools.lru_cache(maxsize=None)
+def make_blend_global(grid_x: int, grid_y: int, chunk: int, interpret: bool):
+    """Build (and cache) the differentiable blend for one static config."""
+
+    @jax.custom_vjp
+    def blend(payload, starts, counts, bg):
+        return blend_global_forward(
+            payload, starts, counts, bg,
+            grid_x=grid_x, grid_y=grid_y, chunk=chunk, interpret=interpret,
+        )
+
+    def blend_fwd(payload, starts, counts, bg):
+        packed = blend(payload, starts, counts, bg)
+        return packed, (payload, starts, counts, bg, packed)
+
+    def blend_bwd(res, g_packed):
+        payload, starts, counts, bg, packed = res
+        dpay = blend_global_backward(
+            payload, g_packed, starts, counts, bg,
+            grid_x=grid_x, grid_y=grid_y, chunk=chunk, interpret=interpret,
+        )
+        # Columns past the last aligned segment are never written by the
+        # kernel (uninitialized) — zero them before they reach the gather VJP.
+        aligned = ((counts + chunk - 1) // chunk) * chunk
+        total_aligned = jnp.sum(aligned)
+        col = jnp.arange(dpay.shape[1], dtype=jnp.int32)
+        dpay = jnp.where(col[None, :] < total_aligned, dpay, 0.0)
+        # Background gradient: out = C + T_final * bg (+ direct final_T
+        # cotangent handled in-kernel), so d_bg = sum T_final * g_color.
+        d_bg = jnp.einsum("tcp,tp->c", g_packed[:, 0:3, :], packed[:, 3, :])
+        return (
+            dpay,
+            _int_zero_tangent(starts),
+            _int_zero_tangent(counts),
+            d_bg,
+        )
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend

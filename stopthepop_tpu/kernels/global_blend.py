@@ -224,3 +224,220 @@ def unpack_image(packed, grid_x: int, grid_y: int, width: int, height: int):
     final_t = full[3, :height, :width]
     n_contrib = full[4, :height, :width].astype(jnp.int32)
     return color, final_t, n_contrib
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+#
+# Re-derivation of the reference's GLOBAL backward render (backward.cu:437-595)
+# for the masked-cumprod formulation. The reference replays the tile range
+# BACK-to-front, reconstructing transmittance by division and accumulating
+# per-Gaussian gradients with atomicAdd. Here we replay FRONT-to-back twice:
+#
+#   pass A: recompute the blend to get, per pixel, the total committed
+#           color-dot-grad sum  S_tot = sum_j m_j w_j (c_j . g)  and T_final;
+#   pass B: recompute again, forming the suffix  S_i = S_tot - prefix_i  with
+#           a triangular matmul, and emit per-pair payload gradients:
+#
+#   dL/dalpha_i = m_i [ (c_i . g) T_before_i
+#                       - (S_i + (bg . g + g_T) T_final) / (1 - alpha_i) ]
+#
+# (the (bg.g + g_T) T_final term covers both the background compositing and a
+# direct cotangent on the final transmittance output). Gradients are gated
+# where the forward skipped (alpha < 1/255, factor < 0) and where the 0.99
+# clamp was active — matching jax.grad of the jnp oracle. Per-pair gradients
+# are written to disjoint aligned segments (no atomics needed); the caller
+# scatter-adds them to per-Gaussian arrays deterministically.
+
+def _bwd_kernel(
+    starts_ref, counts_ref, bg_ref,  # scalar prefetch
+    payload_ref,                     # HBM [16, C_pad]
+    grad_ref,                        # VMEM block [1, 8, 256] (packed cotangent)
+    dpay_ref,                        # HBM out [16, C_pad]
+    buf, dbuf, sems, dsems,          # scratch
+    *, chunk: int, grid_x: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    rounds = pl.cdiv(count, chunk)
+    tx = t % grid_x
+    ty = t // grid_x
+    pixf_x, pixf_y = _tile_pixel_coords(tx, ty)
+    tri = _upper_tri(chunk)
+
+    gp = grad_ref[0]                     # [8, 256]
+    g_pix = gp[0:3, :].T                 # [256, 3] color cotangent
+    gT = gp[3:4, :].T                    # [256, 1] final_T cotangent
+    K = (
+        g_pix[:, 0:1] * bg_ref[0]
+        + g_pix[:, 1:2] * bg_ref[1]
+        + g_pix[:, 2:3] * bg_ref[2]
+        + gT
+    )                                    # [256, 1]
+
+    def get_dma(slot, k):
+        offset = pl.multiple_of(start + k * chunk, 128)
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot], sems.at[slot]
+        )
+
+    def put_dma(slot, k):
+        offset = pl.multiple_of(start + k * chunk, 128)
+        return pltpu.make_async_copy(
+            dbuf.at[slot], dpay_ref.at[:, pl.ds(offset, chunk)], dsems.at[slot]
+        )
+
+    @pl.when(rounds > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    # ---- pass A: totals ----
+    def body_a(k, carry):
+        T, S_tot = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < rounds)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        data = buf[slot]
+        eff = _chunk_alpha(data, pixf_x, pixf_y, count - k * chunk)
+        U, T_before, commit, T_new = _blend_chunk(eff, tri, T)
+        w = eff * T_before * commit
+        cdotg = jnp.dot(g_pix, data[6:9, :], preferred_element_type=jnp.float32)
+        S_tot = S_tot + jnp.sum(w * cdotg, axis=1, keepdims=True)
+        return T_new, S_tot
+
+    ones = jnp.ones((TILE_PIXELS, 1), jnp.float32)
+    zeros1 = jnp.zeros((TILE_PIXELS, 1), jnp.float32)
+    T_final, S_tot = jax.lax.fori_loop(0, rounds, body_a, (ones, zeros1))
+    KT = K * T_final  # [256, 1]
+
+    # ---- pass B: per-pair gradients ----
+    @pl.when(rounds > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body_b(k, carry):
+        T, prefix = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < rounds)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        # Make sure the staging buffer we are about to overwrite has been
+        # flushed (its DMA was started two rounds ago).
+        @pl.when(k >= 2)
+        def _():
+            put_dma(slot, k - 2).wait()
+
+        data = buf[slot]
+        ch = data.shape[1]
+        dx = data[0:1, :] - pixf_x
+        dy = data[1:2, :] - pixf_y
+        a = data[2:3, :]
+        b = data[3:4, :]
+        c = data[4:5, :]
+        opw = data[5:6, :]
+        factor = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+        alpha_raw = opw * jnp.exp(-factor)
+        alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+        ok = (factor >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (col < count - k * chunk)
+        eff = jnp.where(ok, alpha, 0.0)
+
+        U, T_before, commit, T_new = _blend_chunk(eff, tri, T)
+        w = eff * T_before * commit
+        cdotg = jnp.dot(g_pix, data[6:9, :], preferred_element_type=jnp.float32)
+        wc = w * cdotg
+        prefix_incl = prefix + jnp.dot(
+            wc, tri, preferred_element_type=jnp.float32
+        )
+        S = S_tot - prefix_incl
+        galpha = commit * (
+            cdotg * T_before - (S + KT) / (1.0 - eff)
+        )
+        gate = ok & (alpha_raw < ALPHA_MAX)
+        galpha = jnp.where(gate, galpha, 0.0)
+        dfactor = -eff * galpha
+        d_xy_x = jnp.sum(dfactor * (a * dx + b * dy), axis=0, keepdims=True)
+        d_xy_y = jnp.sum(dfactor * (c * dy + b * dx), axis=0, keepdims=True)
+        d_a = jnp.sum(dfactor * 0.5 * dx * dx, axis=0, keepdims=True)
+        d_b = jnp.sum(dfactor * dx * dy, axis=0, keepdims=True)
+        d_c = jnp.sum(dfactor * 0.5 * dy * dy, axis=0, keepdims=True)
+        d_opw = jnp.sum(
+            galpha * eff / jnp.maximum(opw, 1e-12), axis=0, keepdims=True
+        )
+        d_rgb = jax.lax.dot_general(
+            g_pix, w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [3, CH]
+        dbuf[slot] = jnp.concatenate(
+            [
+                d_xy_x, d_xy_y, d_a, d_b, d_c, d_opw, d_rgb,
+                jnp.zeros((PAYLOAD_F - 9, ch), jnp.float32),
+            ],
+            axis=0,
+        )
+        put_dma(slot, k).start()
+        return T_new, prefix_incl[:, -1:]
+
+    T_last, _ = jax.lax.fori_loop(0, rounds, body_b, (ones, zeros1))
+
+    # Drain outstanding output DMAs.
+    @pl.when(rounds >= 2)
+    def _():
+        put_dma(rounds % 2, rounds - 2).wait()
+
+    @pl.when(rounds >= 1)
+    def _():
+        put_dma((rounds - 1) % 2, rounds - 1).wait()
+
+
+def blend_global_backward(
+    payload: jnp.ndarray,      # [16, C_pad]
+    grad_packed: jnp.ndarray,  # [T, 8, 256] cotangent of the packed output
+    starts: jnp.ndarray,
+    counts: jnp.ndarray,
+    bg: jnp.ndarray,
+    *,
+    grid_x: int,
+    grid_y: int,
+    chunk: int = 256,
+    interpret: bool = False,
+):
+    """Returns d_payload [16, C_pad] (zero where no pair was written)."""
+    num_tiles = grid_x * grid_y
+    kernel = functools.partial(_bwd_kernel, chunk=chunk, grid_x=grid_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, PAYLOAD_F, chunk), jnp.float32),
+            pltpu.VMEM((2, PAYLOAD_F, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dpay = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(payload.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, counts, bg, payload, grad_packed)
+    return dpay

@@ -22,11 +22,8 @@ import jax.numpy as jnp
 
 from ..config import GlobalSortOrder
 from ..constants import TILE_X, TILE_Y
-from ..kernels.global_blend import (
-    PAYLOAD_F,
-    blend_global_forward,
-    unpack_image,
-)
+from ..kernels.blend_vjp import make_blend_global
+from ..kernels.global_blend import PAYLOAD_F, unpack_image
 from .duplicate import (
     AlignedSegments,
     PairBuffer,
@@ -35,7 +32,9 @@ from .duplicate import (
 )
 from .preprocess import PreprocessOutput
 
-SEGMENT_ALIGN = 128
+# Segments are aligned to the DMA chunk size so the backward kernel's
+# full-chunk gradient writes stay within each tile's own segment.
+SEGMENT_ALIGN = 256
 
 
 def tile_grid(width: int, height: int):
@@ -91,19 +90,13 @@ def render_tiled(
         image_width=image_width,
         image_height=image_height,
     )
-    capacity_aligned = capacity + num_tiles * SEGMENT_ALIGN
-    segs = align_segments(pairs, num_tiles, capacity_aligned, SEGMENT_ALIGN)
+    # Segment alignment must equal the DMA chunk so the backward kernel's
+    # full-chunk writes stay within each tile's own segment.
+    capacity_aligned = capacity + num_tiles * chunk
+    segs = align_segments(pairs, num_tiles, capacity_aligned, chunk)
     payload = build_payload(prep, segs, chunk)
-    packed = blend_global_forward(
-        payload,
-        segs.starts,
-        segs.counts,
-        bg,
-        grid_x=grid_x,
-        grid_y=grid_y,
-        chunk=chunk,
-        interpret=interpret,
-    )
+    blend = make_blend_global(grid_x, grid_y, chunk, interpret)
+    packed = blend(payload, segs.starts, segs.counts, bg)
     color, final_t, n_contrib = unpack_image(
         packed, grid_x, grid_y, image_width, image_height
     )

@@ -1,0 +1,98 @@
+"""Gradient parity: Pallas custom VJP vs jax.grad of the jnp oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stopthepop_tpu.render.duplicate import count_pairs
+from stopthepop_tpu.render.naive import render_global_naive
+from stopthepop_tpu.render.pipeline import render_tiled
+from stopthepop_tpu.render.preprocess import preprocess
+from stopthepop_tpu.utils.testing import make_camera, random_scene
+
+
+def _make_losses(cam, scene, w, h, cap, use_sh=False):
+    bg = jnp.array([0.3, 0.1, 0.2])
+    weights = jax.random.normal(jax.random.PRNGKey(99), (3, h, w))
+
+    def prep_of(means, scales, rots, opac, colors_or_shs):
+        kw = dict(shs=colors_or_shs) if use_sh else dict(colors_precomp=colors_or_shs)
+        return preprocess(
+            means, opac, scales=scales, rotations=rots,
+            viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+            campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            image_width=w, image_height=h, sh_degree=3 if use_sh else 0, **kw,
+        )
+
+    def loss_oracle(means, scales, rots, opac, col):
+        img, final_t, _ = render_global_naive(prep_of(means, scales, rots, opac, col), bg, w, h)
+        return jnp.sum(img * weights) + 0.1 * jnp.sum(final_t)
+
+    def loss_tiled(means, scales, rots, opac, col):
+        img, final_t, _, _ = render_tiled(
+            prep_of(means, scales, rots, opac, col), bg,
+            image_width=w, image_height=h, capacity=cap, interpret=True,
+        )
+        return jnp.sum(img * weights) + 0.1 * jnp.sum(final_t)
+
+    return loss_oracle, loss_tiled
+
+
+@pytest.mark.parametrize("use_sh", [False, True])
+def test_grads_match_oracle(use_sh):
+    w = h = 48
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(5), 120)
+    col = scene.shs if use_sh else scene.colors
+    prep = preprocess(
+        scene.means3d, scene.opacities, scales=scene.scales,
+        rotations=scene.rotations, colors_precomp=scene.colors,
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix, campos=cam.campos,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy, image_width=w, image_height=h,
+    )
+    cap = int(count_pairs(prep)) + 64
+    loss_oracle, loss_tiled = _make_losses(cam, scene, w, h, cap, use_sh)
+
+    args = (scene.means3d, scene.scales, scene.rotations, scene.opacities, col)
+    v_o, g_o = jax.value_and_grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(*args)
+    v_t, g_t = jax.value_and_grad(loss_tiled, argnums=(0, 1, 2, 3, 4))(*args)
+
+    np.testing.assert_allclose(float(v_o), float(v_t), rtol=1e-5)
+    names = ["means3d", "scales", "rotations", "opacities", "colors"]
+    for name, a, b in zip(names, g_o, g_t):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all(), name
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b, a, atol=2e-4 * scale, rtol=2e-3,
+            err_msg=f"gradient mismatch for {name}",
+        )
+
+
+def test_bg_gradient():
+    w = h = 32
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(6), 50)
+    prep = preprocess(
+        scene.means3d, scene.opacities, scales=scene.scales,
+        rotations=scene.rotations, colors_precomp=scene.colors,
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix, campos=cam.campos,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy, image_width=w, image_height=h,
+    )
+    cap = int(count_pairs(prep)) + 64
+
+    def loss_t(bg):
+        img, _, _, _ = render_tiled(
+            prep, bg, image_width=w, image_height=h, capacity=cap, interpret=True
+        )
+        return jnp.sum(img**2)
+
+    def loss_o(bg):
+        img, _, _ = render_global_naive(prep, bg, w, h)
+        return jnp.sum(img**2)
+
+    bg = jnp.array([0.5, 0.2, 0.8])
+    g_t = jax.grad(loss_t)(bg)
+    g_o = jax.grad(loss_o)(bg)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_o), rtol=1e-4)
