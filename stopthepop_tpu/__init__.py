@@ -18,4 +18,11 @@ from .config import (  # noqa: F401
     SortSettings,
 )
 
+from .render.rasterize import (  # noqa: F401
+    GaussianRasterizer,
+    RenderOutput,
+    rasterize_gaussians,
+)
+from .ops.transforms import mark_visible  # noqa: F401
+
 __version__ = "0.1.0"

@@ -1,0 +1,198 @@
+"""Public rasterization API.
+
+Mirrors the reference's Python surface (diff_gaussian_rasterization/
+__init__.py:32-53, 265-314): ``rasterize_gaussians(...)`` and
+``GaussianRasterizer`` with the same argument names and the same input
+validation, returning ``(color [3, H, W], radii [P])``. Functional-JAX
+differences:
+
+  * no autograd.Function — the whole pipeline is differentiable JAX; the
+    blend uses a custom VJP internally (kernels/blend_vjp.py);
+  * ``means2D`` is the same densification-gradient dummy as upstream: its
+    value is ignored, but gradients arrive scaled by (0.5*W, 0.5*H) exactly
+    like the reference's NDC-scaled dL_dmean2D (backward.cu ddelx_dx=0.5*W);
+  * buffer capacity is static: ``pair_capacity`` (default 16*P) replaces the
+    reference's dynamic resize-after-scan (rasterizer_impl.cu:316-321); pass
+    the ``overflow`` debug output to detect undersizing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    GaussianRasterizationSettings,
+    GlobalSortOrder,
+    SortMode,
+)
+from ..constants import PAIR_CAPACITY_FACTOR
+from ..ops.transforms import mark_visible
+from .naive import render_full_sort_naive
+from .pipeline import render_tiled
+from .preprocess import preprocess
+
+
+class RenderOutput(NamedTuple):
+    color: jnp.ndarray      # [3, H, W]
+    radii: jnp.ndarray      # [P] int32
+    final_t: jnp.ndarray    # [H, W]
+    n_contrib: jnp.ndarray  # [H, W] int32
+    overflow: jnp.ndarray   # [] bool — pair buffer overflow indicator
+
+
+def default_pair_capacity(num_gaussians: int) -> int:
+    return PAIR_CAPACITY_FACTOR * max(num_gaussians, 1)
+
+
+def rasterize_gaussians(
+    means3D,
+    means2D,
+    sh,
+    colors_precomp,
+    opacities,
+    scales,
+    rotations,
+    cov3Ds_precomp,
+    raster_settings: GaussianRasterizationSettings,
+    *,
+    pair_capacity: Optional[int] = None,
+    chunk: int = 256,
+    interpret: bool = False,
+    full_output: bool = False,
+):
+    """Render. Returns (color, radii) like the reference, or RenderOutput."""
+    rs = raster_settings
+    ext = rs.settings
+    sort_mode = SortMode(ext.sort_settings.sort_mode)
+    sort_order = GlobalSortOrder(ext.sort_settings.sort_order)
+    P = means3D.shape[0]
+    W, H = int(rs.image_width), int(rs.image_height)
+    capacity = pair_capacity or default_pair_capacity(P)
+
+    def none_if_empty(x):
+        return None if x is None or (hasattr(x, "size") and x.size == 0) else x
+
+    sh = none_if_empty(sh)
+    colors_precomp = none_if_empty(colors_precomp)
+    scales = none_if_empty(scales)
+    rotations = none_if_empty(rotations)
+    cov3Ds_precomp = none_if_empty(cov3Ds_precomp)
+
+    prep = preprocess(
+        means3D,
+        opacities,
+        scales=scales,
+        rotations=rotations,
+        cov3d_precomp=cov3Ds_precomp,
+        shs=sh,
+        colors_precomp=colors_precomp,
+        scale_modifier=rs.scale_modifier,
+        viewmatrix=rs.viewmatrix,
+        projmatrix=rs.projmatrix,
+        campos=rs.campos,
+        tanfovx=rs.tanfovx,
+        tanfovy=rs.tanfovy,
+        image_width=W,
+        image_height=H,
+        sh_degree=rs.sh_degree,
+        sort_order=sort_order,
+        rect_bounding=ext.culling_settings.rect_bounding,
+        tight_opacity_bounding=ext.culling_settings.tight_opacity_bounding,
+        proper_ewa_scaling=ext.proper_ewa_scaling,
+    )
+
+    if means2D is not None and means2D.size:
+        # Densification-gradient dummy: value-neutral reroute so that
+        # d loss/d means2D = pixel-space mean gradient * (0.5W, 0.5H),
+        # matching the reference trainer's expectations.
+        scale_vec = jnp.array([0.5 * W, 0.5 * H], jnp.float32)
+        m2d = means2D[:, :2] * scale_vec
+        mean2d = prep.mean2d + m2d - jax.lax.stop_gradient(m2d)
+        prep = prep._replace(mean2d=mean2d)
+
+    if sort_mode == SortMode.PPX_FULL:
+        # Exact per-pixel full sort — the quality oracle. The reference's
+        # version is forward-only (backward.cu:733-736); ours differentiates
+        # but is O(P x pixels) memory, so keep scenes small.
+        color, final_t, n_contrib = render_full_sort_naive(
+            prep, rs.bg, W, H, rs.campos, rs.inv_viewprojmatrix
+        )
+        overflow = jnp.array(False)
+    elif sort_mode == SortMode.GLOBAL:
+        color, final_t, n_contrib, pairs = render_tiled(
+            prep,
+            rs.bg,
+            image_width=W,
+            image_height=H,
+            capacity=capacity,
+            sort_order=sort_order,
+            tile_based_culling=ext.culling_settings.tile_based_culling,
+            campos=rs.campos,
+            inverse_vp=rs.inv_viewprojmatrix,
+            chunk=chunk,
+            interpret=interpret,
+        )
+        overflow = pairs.overflow
+    else:
+        raise NotImplementedError(
+            f"sort_mode {sort_mode} not yet implemented in the TPU pipeline"
+        )
+
+    if full_output:
+        return RenderOutput(color, prep.radii, final_t, n_contrib, overflow)
+    return color, prep.radii
+
+
+class GaussianRasterizer:
+    """API-parity rasterizer object (reference __init__.py:265-314)."""
+
+    def __init__(self, raster_settings: GaussianRasterizationSettings, **kw):
+        self.raster_settings = raster_settings
+        self._kw = kw
+
+    def markVisible(self, positions):
+        rs = self.raster_settings
+        return mark_visible(positions, rs.viewmatrix, rs.projmatrix)
+
+    def forward(
+        self,
+        means3D,
+        means2D,
+        opacities,
+        shs=None,
+        colors_precomp=None,
+        scales=None,
+        rotations=None,
+        cov3D_precomp=None,
+    ):
+        if (shs is None and colors_precomp is None) or (
+            shs is not None and colors_precomp is not None
+        ):
+            raise Exception(
+                "Please provide excatly one of either SHs or precomputed colors!"
+            )
+        if ((scales is None or rotations is None) and cov3D_precomp is None) or (
+            (scales is not None or rotations is not None)
+            and cov3D_precomp is not None
+        ):
+            raise Exception(
+                "Please provide exactly one of either scale/rotation pair or "
+                "precomputed 3D covariance!"
+            )
+        return rasterize_gaussians(
+            means3D,
+            means2D,
+            shs,
+            colors_precomp,
+            opacities,
+            scales,
+            rotations,
+            cov3D_precomp,
+            self.raster_settings,
+            **self._kw,
+        )
+
+    __call__ = forward

@@ -1,0 +1,132 @@
+"""Single-device 3DGS training step (BASELINE config 4).
+
+Minimal but real: renders through the production pipeline, L1+D-SSIM loss,
+optax Adam, plus the densification statistics the upstream trainer reads
+(radii and the NDC-scaled means2D gradient norm — reference
+__init__.py means2D dummy / backward.cu ddelx_dx).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import GaussianRasterizationSettings
+from ..models.gaussians import GaussianModel
+from ..render.rasterize import rasterize_gaussians
+from .loss import rgb_loss
+
+
+class CameraArrays(NamedTuple):
+    """The traced (per-camera) half of GaussianRasterizationSettings."""
+
+    viewmatrix: jnp.ndarray         # [4, 4]
+    projmatrix: jnp.ndarray         # [4, 4]
+    inv_viewprojmatrix: jnp.ndarray  # [4, 4]
+    campos: jnp.ndarray             # [3]
+
+
+def render_model(
+    model: GaussianModel,
+    cam: CameraArrays,
+    *,
+    static: GaussianRasterizationSettings,
+    means2d_dummy: Optional[jnp.ndarray] = None,
+    **kw,
+):
+    """Render a GaussianModel through the public API."""
+    rs = static._replace(
+        viewmatrix=cam.viewmatrix,
+        projmatrix=cam.projmatrix,
+        inv_viewprojmatrix=cam.inv_viewprojmatrix,
+        campos=cam.campos,
+    )
+    return rasterize_gaussians(
+        model.means3d,
+        means2d_dummy,
+        model.shs(),
+        None,
+        model.opacities(),
+        model.scales(),
+        model.rotations_normalized(),
+        None,
+        rs,
+        **kw,
+    )
+
+
+class TrainState(NamedTuple):
+    model: GaussianModel
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+class DensifyStats(NamedTuple):
+    """Running stats the densification controller consumes."""
+
+    grad2d_accum: jnp.ndarray  # [P] sum of ||dL/dmean2D_ndc|| over steps
+    denom: jnp.ndarray         # [P] number of steps the Gaussian was visible
+    max_radii: jnp.ndarray     # [P] max screen radius seen
+
+
+def make_optimizer(lr: float = 1e-3):
+    return optax.adam(lr, eps=1e-15)
+
+
+def make_train_step(
+    optimizer,
+    *,
+    static: GaussianRasterizationSettings,
+    lambda_dssim: float = 0.2,
+    pair_capacity: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Returns jittable (state, cam, target, stats) -> (state, stats, aux)."""
+
+    def train_step(state: TrainState, cam: CameraArrays, target, stats):
+        P = state.model.num_gaussians
+        means2d_dummy = jnp.zeros((P, 2), jnp.float32)
+
+        def loss_fn(model, m2d):
+            out = render_model(
+                model, cam, static=static, means2d_dummy=m2d,
+                pair_capacity=pair_capacity, interpret=interpret,
+                full_output=True,
+            )
+            loss = rgb_loss(out.color, target, lambda_dssim)
+            return loss, (out.radii, out.overflow)
+
+        (loss, (radii, overflow)), (grads, g2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.model, means2d_dummy)
+
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.model)
+        new_model = optax.apply_updates(state.model, updates)
+        new_state = TrainState(new_model, new_opt, state.step + 1)
+
+        visible = radii > 0
+        g2d_norm = jnp.linalg.norm(g2d, axis=-1)
+        new_stats = DensifyStats(
+            grad2d_accum=stats.grad2d_accum + jnp.where(visible, g2d_norm, 0.0),
+            denom=stats.denom + visible.astype(jnp.int32),
+            max_radii=jnp.maximum(stats.max_radii, radii),
+        )
+        return new_state, new_stats, {"loss": loss, "overflow": overflow}
+
+    return train_step
+
+
+def init_train_state(model: GaussianModel, optimizer) -> TrainState:
+    return TrainState(model, optimizer.init(model), jnp.int32(0))
+
+
+def init_densify_stats(num_gaussians: int) -> DensifyStats:
+    return DensifyStats(
+        grad2d_accum=jnp.zeros((num_gaussians,), jnp.float32),
+        denom=jnp.zeros((num_gaussians,), jnp.int32),
+        max_radii=jnp.zeros((num_gaussians,), jnp.int32),
+    )

@@ -1,0 +1,76 @@
+"""Training-loop smoke tests (BASELINE config 4): loss decreases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stopthepop_tpu.config import ExtendedSettings, GaussianRasterizationSettings
+from stopthepop_tpu.models.gaussians import init_random
+from stopthepop_tpu.train.loss import l1_loss, psnr, rgb_loss, ssim
+from stopthepop_tpu.train.trainer import (
+    CameraArrays,
+    init_densify_stats,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    render_model,
+)
+from stopthepop_tpu.utils.testing import make_camera
+
+
+def _static(cam, size):
+    return GaussianRasterizationSettings(
+        image_height=size, image_width=size,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        bg=jnp.zeros(3), scale_modifier=1.0,
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+        inv_viewprojmatrix=cam.inv_viewprojmatrix,
+        sh_degree=3, campos=cam.campos, prefiltered=False,
+        settings=ExtendedSettings(),
+    )
+
+
+def test_ssim_identity_and_range():
+    img = jax.random.uniform(jax.random.PRNGKey(0), (3, 32, 32))
+    assert float(ssim(img, img)) > 0.999
+    other = jax.random.uniform(jax.random.PRNGKey(1), (3, 32, 32))
+    s = float(ssim(img, other))
+    assert -1.0 <= s < 0.9
+    assert float(rgb_loss(img, img)) < 1e-5
+    assert float(psnr(img, img)) > 80
+
+
+def test_training_decreases_loss():
+    size = 32
+    cam = make_camera(size, size)
+    static = _static(cam, size)
+    cam_arrays = CameraArrays(
+        cam.viewmatrix, cam.projmatrix, cam.inv_viewprojmatrix, cam.campos
+    )
+    # Target: a render from a "ground truth" model; start from a perturbed one.
+    gt = init_random(jax.random.PRNGKey(0), 60)
+    target, _ = render_model(
+        gt, cam_arrays, static=static, pair_capacity=4096, interpret=True
+    )
+    model = gt._replace(
+        means3d=gt.means3d + 0.05 * jax.random.normal(jax.random.PRNGKey(2), gt.means3d.shape),
+        opacity_logit=gt.opacity_logit - 0.5,
+    )
+    optimizer = make_optimizer(5e-3)
+    step = jax.jit(make_train_step(
+        optimizer, static=static, pair_capacity=4096, interpret=True
+    ))
+    state = init_train_state(model, optimizer)
+    stats = init_densify_stats(60)
+
+    losses = []
+    for _ in range(25):
+        state, stats, aux = step(state, cam_arrays, target, stats)
+        losses.append(float(aux["loss"]))
+        assert not bool(aux["overflow"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses
+    # Densification stats accumulate for visible Gaussians.
+    assert int(stats.denom.max()) == 25
+    assert float(stats.grad2d_accum.max()) > 0.0
+    assert int(stats.max_radii.max()) > 0
