@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.shard_map import shard_map
+from jax import shard_map
 
 from ..config import GaussianRasterizationSettings
 from ..models.gaussians import GaussianModel
