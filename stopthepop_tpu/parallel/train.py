@@ -128,7 +128,7 @@ def make_sharded_train_step(
             _cache[key] = jax.jit(
                 shard_map(
                     step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                    check_rep=False,
+                    check_vma=False,  # pallas_call out_shapes carry no vma
                 )
             )
         return _cache[key](model_shard, opt_shard, cams, targets)
