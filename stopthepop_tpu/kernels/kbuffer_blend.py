@@ -1,0 +1,298 @@
+"""Pallas TPU kernels: PER_PIXEL_KBUFFER sort-mode tile blend.
+
+TPU-native re-architecture of the reference's k-buffer renderer
+(renderkBufferCUDA / renderkBufferBackwardCUDA, resorted_render.cuh:17-471).
+The CUDA version gives each pixel thread a register-resident K-entry window,
+insertion-sorted by exact per-ray depth; blending pops the nearest entry when
+the window overflows and drains it at stream end.
+
+Here one Pallas grid step owns a whole 16x16 tile and the window lives in
+vector registers as [K, 256] arrays — K window slots on the sublane axis, the
+tile's 256 pixels on the lane axis — so one pop/insert is a handful of
+full-width VPU ops serving all 256 rays at once (the CUDA warp's per-thread
+scalar insertion loop collapses into vectorized select/shift ops).
+
+Stream layout: payload is feature-major [32, C_pad] like the GLOBAL kernel
+(lane-axis chunk DMAs must be 128-aligned on TPU). Rows:
+  0 xy.x | 1 xy.y | 2 conic.a | 3 conic.b | 4 conic.c | 5 opacity |
+  6 r | 7 g | 8 b | 9..14 inv-cov3D (xx,xy,xz,yy,yz,zz) | 15..17 u | 18.. pad
+where u = Sigma^-1 (mean - campos) (the reference's packed cov3D_inv payload,
+forward.cu:208-220). Per-pair alphas/depths are computed vectorized with
+pixels on the sublane axis, then transposed once per chunk into the
+pixels-on-lanes form the sequential window loop consumes.
+
+The blending semantics are defined by render/naive.py::render_kbuffer_naive —
+this kernel mirrors its float formulas operation-for-operation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (
+    ALPHA_MAX,
+    ALPHA_THRESHOLD,
+    RAY_DEPTH_DEN_FLOOR,
+    T_THRESHOLD,
+    TILE_PIXELS,
+    TILE_X,
+    TILE_Y,
+)
+
+KB_PAYLOAD_F = 32  # payload feature rows (18 used + pad)
+
+
+def _tile_pixels_sublanes(tx, ty):
+    """(pixf_x, pixf_y) [256, 1] with pixels row-major on the sublane axis."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, 1), 0)
+    pixf_x = (tx * TILE_X + j % TILE_X).astype(jnp.float32)
+    pixf_y = (ty * TILE_Y + j // TILE_X).astype(jnp.float32)
+    return pixf_x, pixf_y
+
+
+def _view_rays(cam_ref, pixf_x, pixf_y, width, height):
+    """Per-pixel world ray directions (mirrors ops.transforms.compute_view_ray,
+    reference stopthepop_common.cuh:68-74). Shapes follow the pixf inputs."""
+    ndc_x = pixf_x * (2.0 / width) - 1.0
+    ndc_y = pixf_y * (2.0 / height) - 1.0
+    p = [
+        ndc_x * cam_ref[0 + j] + ndc_y * cam_ref[4 + j] + cam_ref[12 + j]
+        for j in range(4)
+    ]
+    inv_w = 1.0 / p[3]
+    dx = p[0] * inv_w - cam_ref[16]
+    dy = p[1] * inv_w - cam_ref[17]
+    dz = p[2] * inv_w - cam_ref[18]
+    norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return dx / norm, dy / norm, dz / norm
+
+
+def _chunk_alpha_depth(data, pixf_x, pixf_y, vd, count_rem):
+    """Per-chunk effective alphas + exact per-ray depths.
+
+    data [32, CH] feature-major payload chunk; pixf/vd [256, 1].
+    Returns (alpha_eff [256, CH], depth [256, CH]) — alpha 0 where skipped
+    (factor < 0, alpha < 1/255, ray depth < 0, slot beyond count).
+    """
+    ch = data.shape[1]
+    vdx, vdy, vdz = vd
+    dxp = data[0:1, :] - pixf_x  # [256, CH]
+    dyp = data[1:2, :] - pixf_y
+    ca, cb, cc, opw = (data[i:i + 1, :] for i in range(2, 6))
+    factor = 0.5 * (ca * dxp * dxp + cc * dyp * dyp) + cb * dxp * dyp
+    alpha = jnp.minimum(ALPHA_MAX, opw * jnp.exp(-factor))
+    ixx, ixy, ixz, iyy, iyz, izz = (data[i:i + 1, :] for i in range(9, 15))
+    u0, u1, u2 = (data[i:i + 1, :] for i in range(15, 18))
+    num = u0 * vdx + u1 * vdy + u2 * vdz
+    den = (
+        ixx * vdx * vdx
+        + iyy * vdy * vdy
+        + izz * vdz * vdz
+        + 2.0 * (ixy * vdx * vdy + ixz * vdx * vdz + iyz * vdy * vdz)
+    )
+    depth = num / jnp.maximum(RAY_DEPTH_DEN_FLOOR, den)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+    ok = (
+        (factor >= 0.0)
+        & (alpha >= ALPHA_THRESHOLD)
+        & (depth >= 0.0)
+        & (col < count_rem)
+    )
+    return jnp.where(ok, alpha, 0.0), depth
+
+
+def _pop_blend(win, state, popm):
+    """Pop the front window entry and blend it where ``popm``.
+
+    win: dict of [K, 256] arrays; state: (fill, T, Cr, Cg, Cb, nc, done)
+    of [1, 256]. Mirrors naive.py::_kbuffer_pop exactly.
+    """
+    fill, T, Cr, Cg, Cb, nc, done = state
+    a0 = win["a"][0:1]
+    U = T * (1.0 - a0)
+    # done is a float 0/1 latch (Mosaic cannot loop-carry i1 vectors).
+    commit = popm & (done < 0.5) & (U >= T_THRESHOLD)
+    done = jnp.maximum(done, (popm & (U < T_THRESHOLD)).astype(jnp.float32))
+    w = jnp.where(commit, a0 * T, 0.0)
+    Cr = Cr + w * win["r"][0:1]
+    Cg = Cg + w * win["g"][0:1]
+    Cb = Cb + w * win["b"][0:1]
+    T = jnp.where(commit, U, T)
+    nc = nc + commit.astype(jnp.float32)
+
+    def shift(x, pad):
+        shifted = jnp.concatenate([x[1:], jnp.full_like(x[:1], pad)], axis=0)
+        return jnp.where(popm, shifted, x)
+
+    win = {k: shift(v, jnp.inf if k == "d" else 0.0) for k, v in win.items()}
+    fill = fill - popm.astype(jnp.int32)
+    return win, (fill, T, Cr, Cg, Cb, nc, done), commit, w
+
+
+def _insert(win, fill, v, new):
+    """Sorted-insert ``new`` (dict of [1, 256]) where ``v``. Returns win, fill."""
+    K = win["d"].shape[0]
+    pos = jnp.sum((win["d"] <= new["d"]).astype(jnp.int32), axis=0,
+                  keepdims=True)
+    ik = jax.lax.broadcasted_iota(jnp.int32, (K, TILE_PIXELS), 0)
+
+    def ins(x, nv):
+        shifted = jnp.concatenate([x[:1], x[:-1]], axis=0)
+        out = jnp.where(ik < pos, x, jnp.where(ik == pos, nv, shifted))
+        return jnp.where(v, out, x)
+
+    win = {k: ins(win[k], new[k]) for k in win}
+    return win, fill + v.astype(jnp.int32)
+
+
+_WIN_FWD = ("d", "a", "r", "g", "b")
+
+
+def _fwd_kernel(
+    starts_ref, counts_ref, bg_ref, cam_ref,  # scalar prefetch (SMEM)
+    payload_ref,                              # HBM [32, C_pad]
+    out_ref,                                  # VMEM block [1, 8, 256]
+    buf, ad_scr, sems,                        # scratch: [2, 32, CH], [5, CH, 256], 2 sems
+    *, k: int, chunk: int, grid_x: int, width: int, height: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    rounds = pl.cdiv(count, chunk)
+    tx = t % grid_x
+    ty = t // grid_x
+    pixf_x, pixf_y = _tile_pixels_sublanes(tx, ty)
+    vd = _view_rays(cam_ref, pixf_x, pixf_y, width, height)
+
+    def get_dma(slot, kk):
+        offset = pl.multiple_of(start + kk * chunk, chunk)
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(rounds > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def consume(j, carry):
+        win, state = carry
+        a_j = ad_scr[0, pl.ds(j, 1), :]
+        v = a_j > 0.0
+        popm = (state[0] == k) & v
+        win, state, _, _ = _pop_blend(win, state, popm)
+        new = {
+            "d": ad_scr[1, pl.ds(j, 1), :],
+            "a": a_j,
+            "r": ad_scr[2, pl.ds(j, 1), :],
+            "g": ad_scr[3, pl.ds(j, 1), :],
+            "b": ad_scr[4, pl.ds(j, 1), :],
+        }
+        win, fill = _insert(win, state[0], v, new)
+        return win, (fill,) + state[1:]
+
+    def body(kk, carry):
+        slot = kk % 2
+
+        @pl.when(kk + 1 < rounds)
+        def _():
+            get_dma((kk + 1) % 2, kk + 1).start()
+
+        get_dma(slot, kk).wait()
+        data = buf[slot]
+        a_all, depth = _chunk_alpha_depth(
+            data, pixf_x, pixf_y, vd, count - kk * chunk
+        )
+        ad_scr[0] = a_all.T  # -> [CH, 256] pixels-on-lanes for the window loop
+        ad_scr[1] = depth.T
+        for c in range(3):
+            ad_scr[2 + c] = jnp.broadcast_to(
+                data[6 + c:7 + c, :].T, (chunk, TILE_PIXELS)
+            )
+        return jax.lax.fori_loop(0, chunk, consume, carry)
+
+    ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
+    zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
+    win0 = {
+        "d": jnp.full((k, TILE_PIXELS), jnp.inf),
+        "a": jnp.zeros((k, TILE_PIXELS)),
+        "r": jnp.zeros((k, TILE_PIXELS)),
+        "g": jnp.zeros((k, TILE_PIXELS)),
+        "b": jnp.zeros((k, TILE_PIXELS)),
+    }
+    state0 = (
+        jnp.zeros((1, TILE_PIXELS), jnp.int32),  # fill
+        ones,                                    # T
+        zeros, zeros, zeros,                     # C r/g/b
+        zeros,                                   # n_contrib
+        zeros,                                   # done latch (float 0/1)
+    )
+    win, state = jax.lax.fori_loop(0, rounds, body, (win0, state0))
+
+    def drain(_, carry):
+        win, state = carry
+        popm = state[0] > 0
+        win, state, _, _ = _pop_blend(win, state, popm)
+        return win, state
+
+    win, state = jax.lax.fori_loop(0, k, drain, (win, state))
+    fill, T, Cr, Cg, Cb, nc, done = state
+    out_ref[0] = jnp.concatenate(
+        [
+            Cr + T * bg_ref[0],
+            Cg + T * bg_ref[1],
+            Cb + T * bg_ref[2],
+            T,
+            nc,
+            jnp.zeros((3, TILE_PIXELS), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+def blend_kbuffer_forward(
+    payload: jnp.ndarray,   # [32, C_pad] f32 feature-major
+    starts: jnp.ndarray,    # [T] int32 (chunk-aligned)
+    counts: jnp.ndarray,    # [T] int32
+    bg: jnp.ndarray,        # [3] f32
+    cam: jnp.ndarray,       # [19] f32: inverse_vp flat (16) + campos (3)
+    *,
+    grid_x: int,
+    grid_y: int,
+    k: int,
+    width: int,
+    height: int,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """Run the k-buffer forward blend. Returns packed [T, 8, 256]."""
+    num_tiles = grid_x * grid_y
+    kernel = functools.partial(
+        _fwd_kernel, k=k, chunk=chunk, grid_x=grid_x, width=width,
+        height=height,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, KB_PAYLOAD_F, chunk), jnp.float32),
+            pltpu.VMEM((5, chunk, TILE_PIXELS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, TILE_PIXELS), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, counts, bg, cam, payload)

@@ -24,6 +24,7 @@ from ..config import GlobalSortOrder
 from ..constants import TILE_X, TILE_Y
 from ..kernels.blend_vjp import make_blend_global
 from ..kernels.global_blend import PAYLOAD_F, unpack_image
+from ..kernels.kbuffer_blend import KB_PAYLOAD_F, blend_kbuffer_forward
 from .duplicate import (
     AlignedSegments,
     PairBuffer,
@@ -97,6 +98,71 @@ def render_tiled(
     payload = build_payload(prep, segs, chunk)
     blend = make_blend_global(grid_x, grid_y, chunk, interpret)
     packed = blend(payload, segs.starts, segs.counts, bg)
+    color, final_t, n_contrib = unpack_image(
+        packed, grid_x, grid_y, image_width, image_height
+    )
+    return color, final_t, n_contrib, pairs
+
+
+def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
+                          chunk: int):
+    """Gather the k-buffer blend payload [32, C_aligned + chunk].
+
+    Differentiable gather (see build_payload); includes the packed inverse
+    3D covariance for exact per-ray depths (forward.cu:208-220). The trailing
+    ``chunk`` zero columns absorb the final fixed-size DMA over-read.
+    """
+    table = jnp.concatenate(
+        [prep.mean2d, prep.conic_opacity, prep.rgb, prep.cov3d_inv9], axis=1
+    )  # [P, 18]
+    feats = table[segs.gauss_id].T  # [18, C_aligned]
+    feats = jnp.pad(feats, ((0, KB_PAYLOAD_F - feats.shape[0]), (0, chunk)))
+    return feats
+
+
+def render_tiled_kbuffer(
+    prep: PreprocessOutput,
+    bg: jnp.ndarray,
+    *,
+    image_width: int,
+    image_height: int,
+    capacity: int,
+    campos,
+    inverse_vp,
+    k: int = 4,
+    sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
+    tile_based_culling: bool = False,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """PER_PIXEL_KBUFFER tiled render. Returns (color, final_T, n_contrib,
+    pairs)."""
+    grid_x, grid_y = tile_grid(image_width, image_height)
+    num_tiles = grid_x * grid_y
+    pairs = build_pairs(
+        prep,
+        capacity=capacity,
+        grid_x=grid_x,
+        grid_y=grid_y,
+        sort_order=sort_order,
+        tile_based_culling=tile_based_culling,
+        campos=campos,
+        inverse_vp=inverse_vp,
+        image_width=image_width,
+        image_height=image_height,
+    )
+    capacity_aligned = capacity + num_tiles * chunk
+    segs = align_segments(pairs, num_tiles, capacity_aligned, chunk)
+    payload = build_payload_kbuffer(prep, segs, chunk)
+    cam = jnp.concatenate(
+        [inverse_vp.reshape(-1), campos.reshape(-1)]
+    ).astype(jnp.float32)
+    packed = blend_kbuffer_forward(
+        payload, segs.starts, segs.counts, bg, cam,
+        grid_x=grid_x, grid_y=grid_y, k=k,
+        width=image_width, height=image_height,
+        chunk=chunk, interpret=interpret,
+    )
     color, final_t, n_contrib = unpack_image(
         packed, grid_x, grid_y, image_width, image_height
     )

@@ -31,7 +31,7 @@ from ..config import (
 from ..constants import PAIR_CAPACITY_FACTOR
 from ..ops.transforms import mark_visible
 from .naive import render_full_sort_naive
-from .pipeline import render_tiled
+from .pipeline import render_tiled, render_tiled_kbuffer
 from .preprocess import preprocess
 
 
@@ -133,6 +133,21 @@ def rasterize_gaussians(
             campos=rs.campos,
             inverse_vp=rs.inv_viewprojmatrix,
             chunk=chunk,
+            interpret=interpret,
+        )
+        overflow = pairs.overflow
+    elif sort_mode == SortMode.PPX_KBUFFER:
+        color, final_t, n_contrib, pairs = render_tiled_kbuffer(
+            prep,
+            rs.bg,
+            image_width=W,
+            image_height=H,
+            capacity=capacity,
+            campos=rs.campos,
+            inverse_vp=rs.inv_viewprojmatrix,
+            k=int(ext.sort_settings.queue_sizes.per_pixel),
+            sort_order=sort_order,
+            tile_based_culling=ext.culling_settings.tile_based_culling,
             interpret=interpret,
         )
         overflow = pairs.overflow

@@ -1,0 +1,107 @@
+"""PER_PIXEL_KBUFFER: Pallas kernel vs the jnp sequential oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stopthepop_tpu.config import GlobalSortOrder
+from stopthepop_tpu.render.duplicate import count_pairs
+from stopthepop_tpu.render.naive import (
+    render_full_sort_naive,
+    render_kbuffer_naive,
+)
+from stopthepop_tpu.render.pipeline import render_tiled_kbuffer
+from stopthepop_tpu.render.preprocess import preprocess
+from stopthepop_tpu.utils.testing import make_camera, random_scene
+
+
+def _prep(scene, cam, **kw):
+    return preprocess(
+        scene.means3d,
+        scene.opacities,
+        scales=scene.scales,
+        rotations=scene.rotations,
+        shs=scene.shs,
+        viewmatrix=cam.viewmatrix,
+        projmatrix=cam.projmatrix,
+        campos=cam.campos,
+        tanfovx=cam.tanfovx,
+        tanfovy=cam.tanfovy,
+        image_width=cam.width,
+        image_height=cam.height,
+        sh_degree=3,
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("k", [1, 4, 8])
+def test_kbuffer_kernel_matches_oracle(k):
+    w = h = 48
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(5), 200)
+    prep = _prep(scene, cam)
+    bg = jnp.array([0.15, 0.05, 0.3])
+    img_o, T_o, n_o = render_kbuffer_naive(
+        prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix, k=k
+    )
+    cap = int(count_pairs(prep)) + 64
+    img_t, T_t, n_t, pairs = render_tiled_kbuffer(
+        prep, bg, image_width=w, image_height=h, capacity=cap,
+        campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix, k=k,
+        interpret=True,
+    )
+    assert not bool(pairs.overflow)
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_o), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(T_t).reshape(-1), np.asarray(T_o), atol=3e-5
+    )
+    # Contribution counts agree except where a near-tie flipped the order.
+    mismatched = (
+        np.asarray(n_t).reshape(-1) != np.asarray(n_o)
+    ).mean()
+    assert mismatched < 0.02
+
+
+def test_kbuffer_large_k_approaches_full_sort():
+    # With a window as large as the per-pixel stream, the k-buffer is an
+    # exact per-pixel sort, so it must reproduce the FULL oracle.
+    w = h = 32
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(6), 60)
+    prep = _prep(scene, cam)
+    bg = jnp.zeros(3)
+    img_full, T_full, _ = render_full_sort_naive(
+        prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix
+    )
+    img_kb, T_kb, _ = render_kbuffer_naive(
+        prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix, k=60
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_kb), np.asarray(img_full), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(T_kb), np.asarray(T_full), atol=1e-5
+    )
+
+
+def test_kbuffer_sort_orders_and_culling_run():
+    w = h = 32
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(7), 100)
+    prep = _prep(scene, cam)
+    bg = jnp.zeros(3)
+    cap = int(count_pairs(prep)) + 64
+    for order in (GlobalSortOrder.DISTANCE, GlobalSortOrder.PTD_CENTER):
+        img_o, T_o, _ = render_kbuffer_naive(
+            prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix, k=4,
+            sort_order=order, tile_based_culling=True,
+        )
+        img_t, T_t, _, _ = render_tiled_kbuffer(
+            prep, bg, image_width=w, image_height=h, capacity=cap,
+            campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix, k=4,
+            sort_order=order, tile_based_culling=True, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(img_t), np.asarray(img_o), atol=5e-5
+        )
