@@ -61,3 +61,61 @@ def make_blend_global(grid_x: int, grid_y: int, chunk: int, interpret: bool):
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend
+
+
+@functools.lru_cache(maxsize=None)
+def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
+                       height: int, chunk: int, seg_cap: int,
+                       interpret: bool):
+    """Differentiable k-buffer blend for one static config.
+
+    Gradients flow to the payload's blendable rows (xy, conic, opacity, rgb)
+    and to bg; the inverse-covariance rows get zero gradient (per-ray depth
+    only permutes the blend order — discrete, like the reference which also
+    emits no depth gradients), and so does the camera vector.
+    """
+    from .kbuffer_blend import blend_kbuffer_backward, blend_kbuffer_forward
+
+    @jax.custom_vjp
+    def blend(payload, starts, counts, bg, cam):
+        return blend_kbuffer_forward(
+            payload, starts, counts, bg, cam,
+            grid_x=grid_x, grid_y=grid_y, k=k, width=width, height=height,
+            chunk=chunk, interpret=interpret,
+        )
+
+    def blend_fwd(payload, starts, counts, bg, cam):
+        packed = blend(payload, starts, counts, bg, cam)
+        return packed, (payload, starts, counts, bg, cam, packed)
+
+    def blend_bwd(res, g_packed):
+        payload, starts, counts, bg, cam, packed = res
+        dpay = blend_kbuffer_backward(
+            payload, packed, g_packed, starts, counts, bg, cam,
+            grid_x=grid_x, grid_y=grid_y, k=k, width=width, height=height,
+            chunk=chunk, seg_cap=seg_cap, interpret=interpret,
+        )
+        # Zero everything the kernel never writes: rows >= 9, columns past
+        # the aligned segments, and per-tile suffixes beyond seg_cap.
+        aligned = ((counts + chunk - 1) // chunk) * chunk
+        incl = jnp.cumsum(aligned)
+        seg_starts = incl - aligned
+        col = jnp.arange(dpay.shape[1], dtype=jnp.int32)
+        t_of = jnp.clip(
+            jnp.searchsorted(incl, col, side="right"), 0, counts.shape[0] - 1
+        )
+        off = col - seg_starts[t_of]
+        colmask = (col < incl[-1]) & (off < seg_cap)
+        row = jnp.arange(dpay.shape[0], dtype=jnp.int32)
+        dpay = jnp.where(colmask[None, :] & (row[:, None] < 9), dpay, 0.0)
+        d_bg = jnp.einsum("tcp,tp->c", g_packed[:, 0:3, :], packed[:, 3, :])
+        return (
+            dpay,
+            _int_zero_tangent(starts),
+            _int_zero_tangent(counts),
+            d_bg,
+            jnp.zeros_like(res[4]),
+        )
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend

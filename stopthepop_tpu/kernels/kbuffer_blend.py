@@ -296,3 +296,319 @@ def blend_kbuffer_forward(
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, counts, bg, cam, payload)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+#
+# Re-derivation of the reference's k-buffer backward (resorted_render.cuh:
+# 223-471) for TPU. The reference replays the forward front-to-back with the
+# same window resort; at each blend ("pop") it reconstructs the suffix
+# contribution as (final_color - acc) / test_T from the saved pixel colors and
+# scatters the per-Gaussian gradients with atomicAdd.
+#
+# Here the replay is identical, but the scatter is TPU-native: each window
+# entry carries its *source pair index*; at pop time the per-pixel gradient
+# rows [16, 256] are routed to their source payload columns with a one-hot
+# matmul on the MXU — grad[16, 256] @ onehot[256, CH] accumulated into a
+# VMEM-resident per-segment gradient buffer [16, seg_cap]. Because popped
+# entries overwhelmingly come from the current chunk, the routing loop runs
+# only over the [min, max] chunk range actually present among this event's
+# committed sources (usually exactly one iteration). Gradients w.r.t. the
+# inverse-covariance rows are identically zero (per-ray depth only permutes
+# the blend order — a discrete, non-differentiable choice, exactly like the
+# reference which emits no depth gradients).
+#
+# The per-pop gradient (same algebra as the GLOBAL backward, with suffix
+# S = C_tot . g - acc . g reconstructed from the saved forward output):
+#   dL/dalpha = commit * [ (c.g) T_before - (S + (bg.g + g_T) T_final)/(1-a) ]
+
+GRAD_ROWS = 16  # d_x, d_y, d_a, d_b, d_c, d_opw, d_r, d_g, d_b + 7 pad
+
+
+def _tile_pixels_lanes(tx, ty):
+    """(pixf_x, pixf_y) [1, 256] with pixels row-major on the lane axis."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
+    pixf_x = (tx * TILE_X + lane % TILE_X).astype(jnp.float32)
+    pixf_y = (ty * TILE_Y + lane // TILE_X).astype(jnp.float32)
+    return pixf_x, pixf_y
+
+
+# ad_scr staging rows for the backward replay (all [CH, 256], pixels on lanes)
+_BWD_STAGE = 11  # a, d, r, g, b, x, y, ca, cb, cc, opw
+
+
+def _bwd_kernel(
+    starts_ref, counts_ref, bg_ref, cam_ref,  # scalar prefetch (SMEM)
+    payload_ref,                              # HBM [32, C_pad]
+    fwd_ref,                                  # VMEM [1, 8, 256] forward packed
+    grad_ref,                                 # VMEM [1, 8, 256] cotangent
+    dpay_ref,                                 # HBM out [32, C_pad]
+    buf, ad_scr, dseg, sems, wsem,            # scratch
+    *, k: int, chunk: int, seg_cap: int, grid_x: int,
+    width: int, height: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    rounds = pl.cdiv(count, chunk)
+    max_route = seg_cap // chunk
+    tx = t % grid_x
+    ty = t // grid_x
+    pixf_x, pixf_y = _tile_pixels_sublanes(tx, ty)
+    vd = _view_rays(cam_ref, pixf_x, pixf_y, width, height)
+    plx, ply = _tile_pixels_lanes(tx, ty)
+
+    gp = grad_ref[0]                  # [8, 256]
+    fw = fwd_ref[0]
+    g_r, g_g, g_b = gp[0:1, :], gp[1:2, :], gp[2:3, :]
+    g_T = gp[3:4, :]
+    T_final = fw[3:4, :]
+    KT = (g_r * bg_ref[0] + g_g * bg_ref[1] + g_b * bg_ref[2] + g_T) * T_final
+    # Total committed color-dot-grad (forward output minus background term).
+    ctot_g = (
+        (fw[0:1, :] - T_final * bg_ref[0]) * g_r
+        + (fw[1:2, :] - T_final * bg_ref[1]) * g_g
+        + (fw[2:3, :] - T_final * bg_ref[2]) * g_b
+    )
+
+    dseg[...] = jnp.zeros((GRAD_ROWS, seg_cap), jnp.float32)
+
+    def get_dma(slot, kk):
+        offset = pl.multiple_of(start + kk * chunk, chunk)
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(rounds > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def pop_grads(win, state, popm):
+        """Pop + blend + emit/route gradients. Returns (win, state)."""
+        fill, T, acc_g, nc, done = state
+        a0 = win["a"][0:1]
+        U = T * (1.0 - a0)
+        commit = popm & (done < 0.5) & (U >= T_THRESHOLD)
+        done = jnp.maximum(done, (popm & (U < T_THRESHOLD)).astype(jnp.float32))
+        cdotg = win["r"][0:1] * g_r + win["g"][0:1] * g_g + win["b"][0:1] * g_b
+        w = jnp.where(commit, a0 * T, 0.0)
+        acc_g = acc_g + w * cdotg
+        suffix = ctot_g - acc_g
+        galpha = jnp.where(
+            commit & (a0 < ALPHA_MAX),
+            cdotg * T - (suffix + KT) / (1.0 - a0),
+            0.0,
+        )
+        dxp = win["x"][0:1] - plx
+        dyp = win["y"][0:1] - ply
+        ca0, cb0, cc0 = win["ca"][0:1], win["cb"][0:1], win["cc"][0:1]
+        dfactor = -a0 * galpha
+        grad_rows = [
+            dfactor * (ca0 * dxp + cb0 * dyp),
+            dfactor * (cc0 * dyp + cb0 * dxp),
+            dfactor * 0.5 * dxp * dxp,
+            dfactor * dxp * dyp,
+            dfactor * 0.5 * dyp * dyp,
+            galpha * a0 / jnp.maximum(win["opw"][0:1], 1e-12),
+            w * g_r,
+            w * g_g,
+            w * g_b,
+        ]
+        gradfeat = jnp.concatenate(
+            grad_rows
+            + [jnp.zeros((GRAD_ROWS - len(grad_rows), TILE_PIXELS))],
+            axis=0,
+        )  # [16, 256]
+
+        src = win["src"][0:1]  # [1, 256] int32 segment-local pair index
+        route = commit & (src >= 0) & (src < seg_cap)
+        chunk_id = jnp.where(route, src // chunk, 0)
+        cmin = jnp.min(jnp.where(route, chunk_id, max_route))
+        cmax = jnp.max(jnp.where(route, chunk_id, -1))
+
+        def route_chunk(r, _):
+            sel = route & (chunk_id == r)
+            colm = jnp.where(sel, src - r * chunk, -1)  # [1, 256]
+            col_t = colm.T  # [256, 1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, chunk), 1)
+            onehot = (col_t == lane).astype(jnp.float32)  # [256, CH]
+            dchunk = jax.lax.dot_general(
+                gradfeat, onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [16, CH]
+            off = pl.multiple_of(r * chunk, chunk)
+            dseg[:, pl.ds(off, chunk)] += dchunk
+            return 0
+
+        jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
+
+        T = jnp.where(commit, U, T)
+        nc = nc + commit.astype(jnp.float32)
+
+        def shift(x, pad):
+            shifted = jnp.concatenate(
+                [x[1:], jnp.full_like(x[:1], pad)], axis=0
+            )
+            return jnp.where(popm, shifted, x)
+
+        win = {
+            kk: shift(v, jnp.inf if kk == "d" else (-1 if kk == "src" else 0.0))
+            for kk, v in win.items()
+        }
+        fill = fill - popm.astype(jnp.int32)
+        return win, (fill, T, acc_g, nc, done)
+
+    def consume(j, carry, base):
+        win, state = carry
+        a_j = ad_scr[0, pl.ds(j, 1), :]
+        v = a_j > 0.0
+        popm = (state[0] == k) & v
+        win, state = pop_grads(win, state, popm)
+        srcv = jnp.full((1, TILE_PIXELS), 0, jnp.int32) + (base + j)
+        new = {
+            "d": ad_scr[1, pl.ds(j, 1), :],
+            "a": a_j,
+            "r": ad_scr[2, pl.ds(j, 1), :],
+            "g": ad_scr[3, pl.ds(j, 1), :],
+            "b": ad_scr[4, pl.ds(j, 1), :],
+            "x": ad_scr[5, pl.ds(j, 1), :],
+            "y": ad_scr[6, pl.ds(j, 1), :],
+            "ca": ad_scr[7, pl.ds(j, 1), :],
+            "cb": ad_scr[8, pl.ds(j, 1), :],
+            "cc": ad_scr[9, pl.ds(j, 1), :],
+            "opw": ad_scr[10, pl.ds(j, 1), :],
+            "src": srcv,
+        }
+        win, fill = _insert(win, state[0], v, new)
+        return win, (fill,) + state[1:]
+
+    def body(kk, carry):
+        slot = kk % 2
+
+        @pl.when(kk + 1 < rounds)
+        def _():
+            get_dma((kk + 1) % 2, kk + 1).start()
+
+        get_dma(slot, kk).wait()
+        data = buf[slot]
+        a_all, depth = _chunk_alpha_depth(
+            data, pixf_x, pixf_y, vd, count - kk * chunk
+        )
+        ad_scr[0] = a_all.T
+        ad_scr[1] = depth.T
+        feat_rows = (6, 7, 8, 0, 1, 2, 3, 4, 5)  # r g b x y ca cb cc opw
+        for i, f in enumerate(feat_rows):
+            ad_scr[2 + i] = jnp.broadcast_to(
+                data[f:f + 1, :].T, (chunk, TILE_PIXELS)
+            )
+        return jax.lax.fori_loop(
+            0, chunk, lambda j, c: consume(j, c, kk * chunk), carry
+        )
+
+    ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
+    zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
+    win0 = {
+        "d": jnp.full((k, TILE_PIXELS), jnp.inf),
+        "a": jnp.zeros((k, TILE_PIXELS)),
+        "r": jnp.zeros((k, TILE_PIXELS)),
+        "g": jnp.zeros((k, TILE_PIXELS)),
+        "b": jnp.zeros((k, TILE_PIXELS)),
+        "x": jnp.zeros((k, TILE_PIXELS)),
+        "y": jnp.zeros((k, TILE_PIXELS)),
+        "ca": jnp.zeros((k, TILE_PIXELS)),
+        "cb": jnp.zeros((k, TILE_PIXELS)),
+        "cc": jnp.zeros((k, TILE_PIXELS)),
+        "opw": jnp.zeros((k, TILE_PIXELS)),
+        "src": jnp.full((k, TILE_PIXELS), -1, jnp.int32),
+    }
+    state0 = (
+        jnp.zeros((1, TILE_PIXELS), jnp.int32),  # fill
+        ones,                                    # T
+        zeros,                                   # acc . g
+        zeros,                                   # n_contrib (unused)
+        zeros,                                   # done latch
+    )
+    win, state = jax.lax.fori_loop(0, rounds, body, (win0, state0))
+
+    def drain(_, carry):
+        win, state = carry
+        popm = state[0] > 0
+        return pop_grads(win, state, popm)
+
+    win, state = jax.lax.fori_loop(0, k, drain, (win, state))
+
+    # Write the accumulated per-segment gradients back to HBM.
+    def writeback(r, _):
+        off = pl.multiple_of(r * chunk, chunk)
+        dst = pl.multiple_of(start + r * chunk, chunk)
+        cp = pltpu.make_async_copy(
+            dseg.at[:, pl.ds(off, chunk)],
+            dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
+            wsem,
+        )
+        cp.start()
+        cp.wait()
+        return 0
+
+    jax.lax.fori_loop(0, jnp.minimum(rounds, max_route), writeback, 0)
+
+
+def blend_kbuffer_backward(
+    payload: jnp.ndarray,      # [32, C_pad]
+    fwd_packed: jnp.ndarray,   # [T, 8, 256] forward output
+    grad_packed: jnp.ndarray,  # [T, 8, 256] cotangent
+    starts: jnp.ndarray,
+    counts: jnp.ndarray,
+    bg: jnp.ndarray,
+    cam: jnp.ndarray,
+    *,
+    grid_x: int,
+    grid_y: int,
+    k: int,
+    width: int,
+    height: int,
+    chunk: int = 128,
+    seg_cap: int = 16384,
+    interpret: bool = False,
+):
+    """Returns d_payload [32, C_pad] (rows 0..8; only segment prefixes of
+    length <= seg_cap are written — zero the rest outside)."""
+    num_tiles = grid_x * grid_y
+    kernel = functools.partial(
+        _bwd_kernel, k=k, chunk=chunk, seg_cap=seg_cap, grid_x=grid_x,
+        width=width, height=height,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, KB_PAYLOAD_F, chunk), jnp.float32),
+            pltpu.VMEM((_BWD_STAGE, chunk, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((GRAD_ROWS, seg_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(payload.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, counts, bg, cam, payload, fwd_packed, grad_packed)

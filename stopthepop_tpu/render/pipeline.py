@@ -22,9 +22,9 @@ import jax.numpy as jnp
 
 from ..config import GlobalSortOrder
 from ..constants import TILE_X, TILE_Y
-from ..kernels.blend_vjp import make_blend_global
+from ..kernels.blend_vjp import make_blend_global, make_blend_kbuffer
 from ..kernels.global_blend import PAYLOAD_F, unpack_image
-from ..kernels.kbuffer_blend import KB_PAYLOAD_F, blend_kbuffer_forward
+from ..kernels.kbuffer_blend import KB_PAYLOAD_F
 from .duplicate import (
     AlignedSegments,
     PairBuffer,
@@ -133,6 +133,7 @@ def render_tiled_kbuffer(
     sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
     tile_based_culling: bool = False,
     chunk: int = 128,
+    seg_cap: int = 16384,
     interpret: bool = False,
 ):
     """PER_PIXEL_KBUFFER tiled render. Returns (color, final_T, n_contrib,
@@ -157,12 +158,11 @@ def render_tiled_kbuffer(
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)
-    packed = blend_kbuffer_forward(
-        payload, segs.starts, segs.counts, bg, cam,
-        grid_x=grid_x, grid_y=grid_y, k=k,
-        width=image_width, height=image_height,
-        chunk=chunk, interpret=interpret,
+    blend = make_blend_kbuffer(
+        grid_x, grid_y, k, image_width, image_height, chunk, seg_cap,
+        interpret,
     )
+    packed = blend(payload, segs.starts, segs.counts, bg, cam)
     color, final_t, n_contrib = unpack_image(
         packed, grid_x, grid_y, image_width, image_height
     )
