@@ -119,3 +119,25 @@ def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend
+
+
+@functools.lru_cache(maxsize=None)
+def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
+                    height: int, hier_4x4_culling: bool, chunk: int,
+                    seg_cap: int, interpret: bool):
+    """Differentiable hierarchical blend for one static config.
+
+    Forward-only for now: the backward kernel lands with the replay/routing
+    machinery shared with the k-buffer backward.
+    """
+    from .hier_blend import blend_hier_forward
+
+    def blend(payload, starts, counts, bg, cam):
+        return blend_hier_forward(
+            payload, starts, counts, bg, cam,
+            grid_x=grid_x, grid_y=grid_y, queue_sizes=queue_sizes,
+            width=width, height=height, hier_4x4_culling=hier_4x4_culling,
+            chunk=chunk, interpret=interpret,
+        )
+
+    return blend

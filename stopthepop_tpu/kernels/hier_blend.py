@@ -1,0 +1,423 @@
+"""Pallas TPU kernels: HIERARCHICAL sort-mode tile blend.
+
+TPU-native re-architecture of the paper's hierarchical resorting renderer
+(hierarchical_render.cuh:207-1175). Semantics are defined by
+render/naive.py::render_hierarchical_naive (see the design discussion there):
+three sorted windows per pixel group — tail per 4x4 sub-tile (keyed at the
+sub-tile-center ray), mid per 2x2 quad (quad-center ray), head per pixel
+(exact ray) — cascading front-pops down the hierarchy; the head pop is the
+blend.
+
+Layout: every window lives in VMEM as [K, 256] arrays (window slots on
+sublanes, the tile's 256 pixels on lanes). Tail/mid state is replicated
+across its pixel group — group-uniform by construction, since entry/pop
+decisions are group-level — which turns the reference's warp-shuffle
+plumbing into plain full-width vector selects with zero cross-lane traffic.
+All three per-level depths are evaluated vectorized at chunk intake (one
+fused pass over [256, CH]), so window entries carry plain floats and no
+inverse-covariance payload.
+
+Payload: shared with the k-buffer kernel ([32, C_pad] feature-major,
+kbuffer_blend.py) plus row 18 = log(opacity/alpha_threshold), the
+tile/sub-tile culling power threshold (forward.cu:152-161).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (
+    ALPHA_MAX,
+    ALPHA_THRESHOLD,
+    RAY_DEPTH_DEN_FLOOR,
+    T_THRESHOLD,
+    TILE_PIXELS,
+)
+from .kbuffer_blend import (
+    KB_PAYLOAD_F,
+    _tile_pixels_lanes,
+    _tile_pixels_sublanes,
+    _view_rays,
+)
+
+# ad_scr staging rows (all [CH, 256] pixels-on-lanes):
+#   0 a_eff | 1 d_tail | 2 d_mid | 3 d_head | 4 v_tail | 5 r | 6 g | 7 b
+FWD_STAGE = 8
+
+# Window field layouts (leading row = sort key):
+TAIL_F = 7  # key(d_tail), d_mid, d_head, a, r, g, b
+MID_F = 6   # key(d_mid), d_head, a, r, g, b
+HEAD_F = 5  # key(d_head), a, r, g, b
+
+
+def _ray_depth(data, vd):
+    """Exact max-contribution depth along per-pixel rays.
+
+    data [32, CH]; vd = (vdx, vdy, vdz) [256, 1]. Returns [256, CH].
+    Mirrors ops.stopthepop.depth_along_ray.
+    """
+    vdx, vdy, vdz = vd
+    ixx, ixy, ixz, iyy, iyz, izz = (data[i:i + 1, :] for i in range(9, 15))
+    u0, u1, u2 = (data[i:i + 1, :] for i in range(15, 18))
+    num = u0 * vdx + u1 * vdy + u2 * vdz
+    den = (
+        ixx * vdx * vdx
+        + iyy * vdy * vdy
+        + izz * vdz * vdz
+        + 2.0 * (ixy * vdx * vdy + ixz * vdx * vdz + iyz * vdy * vdz)
+    )
+    return num / jnp.maximum(RAY_DEPTH_DEN_FLOOR, den)
+
+
+def _subtile_power(data, st_min_x, st_min_y):
+    """Max-contribution power over each pixel's 4x4 sub-tile rect.
+
+    Mirrors ops.stopthepop.max_contrib_power_rect with patch 3x3
+    (stopthepop_common.cuh:130-174). data [32, CH]; st_min [256, 1].
+    Returns power [256, CH].
+    """
+    mx = data[0:1, :]
+    my = data[1:2, :]
+    co_x, co_y, co_z = data[2:3, :], data[3:4, :], data[4:5, :]
+    rmin_x, rmin_y = st_min_x, st_min_y
+    rmax_x, rmax_y = st_min_x + 3.0, st_min_y + 3.0
+
+    x_left = (rmin_x - mx) > 0.0
+    y_above = (rmin_y - my) > 0.0
+    not_in_x = x_left | (mx > rmax_x)
+    not_in_y = y_above | (my > rmax_y)
+    outside = not_in_x | not_in_y
+
+    px = jnp.where(x_left, rmin_x, rmax_x)
+    py = jnp.where(y_above, rmin_y, rmax_y)
+    dx = jnp.where(x_left, 3.0, -3.0)
+    dy = jnp.where(y_above, 3.0, -3.0)
+    diffx = mx - px
+    diffy = my - py
+    tx = jnp.where(
+        not_in_y,
+        jnp.clip(
+            (dx * co_x * diffx + dx * co_y * diffy) / (dx * dx * co_x),
+            0.0, 1.0,
+        ),
+        0.0,
+    )
+    ty = jnp.where(
+        not_in_x,
+        jnp.clip(
+            (dy * co_y * diffx + dy * co_z * diffy) / (dy * dy * co_z),
+            0.0, 1.0,
+        ),
+        0.0,
+    )
+    max_x = jnp.where(outside, px + tx * dx, mx)
+    max_y = jnp.where(outside, py + ty * dy, my)
+    ddx = mx - max_x
+    ddy = my - max_y
+    power = 0.5 * (co_x * ddx * ddx + co_z * ddy * ddy) + co_y * ddx * ddy
+    return jnp.where(outside, power, 0.0)
+
+
+def _intake(data, pixf_x, pixf_y, cam_ref, count_rem, width, height,
+            hier_4x4_culling):
+    """Per-chunk vectorized intake. Returns the FWD_STAGE rows, [256, CH]
+    each (to be transposed into ad_scr)."""
+    ch = data.shape[1]
+    dxp = data[0:1, :] - pixf_x
+    dyp = data[1:2, :] - pixf_y
+    ca, cb, cc, opw = (data[i:i + 1, :] for i in range(2, 6))
+    factor = 0.5 * (ca * dxp * dxp + cc * dyp * dyp) + cb * dxp * dyp
+    alpha = jnp.minimum(ALPHA_MAX, opw * jnp.exp(-factor))
+
+    st_x = jnp.floor(pixf_x / 4.0) * 4.0
+    st_y = jnp.floor(pixf_y / 4.0) * 4.0
+    qd_x = jnp.floor(pixf_x / 2.0) * 2.0 + 0.5
+    qd_y = jnp.floor(pixf_y / 2.0) * 2.0 + 0.5
+    vd_h = _view_rays(cam_ref, pixf_x, pixf_y, width, height)
+    vd_m = _view_rays(cam_ref, qd_x, qd_y, width, height)
+    vd_t = _view_rays(cam_ref, st_x + 1.5, st_y + 1.5, width, height)
+    d_head = _ray_depth(data, vd_h)
+    d_mid = _ray_depth(data, vd_m)
+    d_tail = _ray_depth(data, vd_t)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+    in_count = col < count_rem
+    ok = (
+        (factor >= 0.0)
+        & (alpha >= ALPHA_THRESHOLD)
+        & (d_head >= 0.0)
+        & in_count
+    )
+    a_eff = jnp.where(ok, alpha, 0.0)
+
+    v_tail = in_count & (d_tail >= 0.0)
+    if hier_4x4_culling:
+        power4 = _subtile_power(data, st_x, st_y)
+        v_tail = v_tail & (power4 <= data[18:19, :])
+    return (
+        a_eff, d_tail, d_mid, d_head, v_tail.astype(jnp.float32),
+        jnp.broadcast_to(data[6:7, :], (TILE_PIXELS, ch)),
+        jnp.broadcast_to(data[7:8, :], (TILE_PIXELS, ch)),
+        jnp.broadcast_to(data[8:9, :], (TILE_PIXELS, ch)),
+    )
+
+
+def _win_update(scr, num_f, popm, v, new):
+    """Fused front-pop + sorted-insert on a windowed scratch ref.
+
+    scr: VMEM ref [num_f, K, 256], row 0 of each field = nearest. popm/v:
+    [1, 256] masks; new: list of num_f [1, 256] rows (new[0] = key).
+    Returns the popped front entry (read before modification).
+    """
+    K = scr.shape[1]
+    front = [scr[f, 0:1, :] for f in range(num_f)]
+
+    # Key field first: pop-shift, then compute the insert position.
+    key = scr[0]
+    key1 = jnp.where(
+        popm,
+        jnp.concatenate([key[1:], jnp.full_like(key[:1], jnp.inf)], axis=0),
+        key,
+    )
+    pos = jnp.sum((key1 <= new[0]).astype(jnp.int32), axis=0, keepdims=True)
+    ik = jax.lax.broadcasted_iota(jnp.int32, (K, TILE_PIXELS), 0)
+
+    def upd(x, nv, pad):
+        x1 = jnp.where(
+            popm,
+            jnp.concatenate([x[1:], jnp.full_like(x[:1], pad)], axis=0),
+            x,
+        )
+        shifted = jnp.concatenate([x1[:1], x1[:-1]], axis=0)
+        x2 = jnp.where(ik < pos, x1, jnp.where(ik == pos, nv, shifted))
+        return jnp.where(v, x2, x1)
+
+    scr[0] = upd(key, new[0], jnp.inf)
+    for f in range(1, num_f):
+        scr[f] = upd(scr[f], new[f], 0.0)
+    return front
+
+
+def _blend_one(state, popm, a0, r0, g0, b0):
+    """(T, Cr, Cg, Cb, nc, done) [1, 256]; same math as the k-buffer pop."""
+    T, Cr, Cg, Cb, nc, done = state
+    U = T * (1.0 - a0)
+    commit = popm & (done < 0.5) & (U >= T_THRESHOLD)
+    done = jnp.maximum(done, (popm & (U < T_THRESHOLD)).astype(jnp.float32))
+    w = jnp.where(commit, a0 * T, 0.0)
+    Cr = Cr + w * r0
+    Cg = Cg + w * g0
+    Cb = Cb + w * b0
+    T = jnp.where(commit, U, T)
+    nc = nc + (commit & (a0 > 0.0)).astype(jnp.float32)
+    return (T, Cr, Cg, Cb, nc, done), commit, w
+
+
+def _fwd_kernel(
+    starts_ref, counts_ref, bg_ref, cam_ref,  # scalar prefetch
+    payload_ref,                              # HBM [32, C_pad]
+    out_ref,                                  # VMEM [1, 8, 256]
+    buf, ad_scr, tail, mid, head, sems,       # scratch
+    *, kt: int, km: int, kh: int, chunk: int, grid_x: int,
+    width: int, height: int, hier_4x4_culling: bool,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    rounds = pl.cdiv(count, chunk)
+    tx = t % grid_x
+    ty = t // grid_x
+    pixf_x, pixf_y = _tile_pixels_sublanes(tx, ty)
+
+    # Reset the persistent window scratch for this tile.
+    tail[...] = jnp.zeros((TAIL_F, kt, TILE_PIXELS))
+    tail[0] = jnp.full((kt, TILE_PIXELS), jnp.inf)
+    mid[...] = jnp.zeros((MID_F, km, TILE_PIXELS))
+    mid[0] = jnp.full((km, TILE_PIXELS), jnp.inf)
+    head[...] = jnp.zeros((HEAD_F, kh, TILE_PIXELS))
+    head[0] = jnp.full((kh, TILE_PIXELS), jnp.inf)
+
+    def get_dma(slot, kk):
+        offset = pl.multiple_of(start + kk * chunk, chunk)
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(rounds > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def push_head(state, fh, pop_m, e_m):
+        # e_m rows: key(d_mid), d_head, a, r, g, b
+        pop_h = pop_m & (fh == kh)
+        new = [e_m[1], e_m[2], e_m[3], e_m[4], e_m[5]]
+        e_h = _win_update(head, HEAD_F, pop_h, pop_m, new)
+        state, _, _ = _blend_one(state, pop_h, e_h[1], e_h[2], e_h[3], e_h[4])
+        fh = fh + pop_m.astype(jnp.int32) - pop_h.astype(jnp.int32)
+        return state, fh
+
+    def push_mid(state, fm, fh, pop_t, e_t):
+        # e_t rows: key(d_tail), d_mid, d_head, a, r, g, b
+        pop_m = pop_t & (fm == km)
+        new = [e_t[1], e_t[2], e_t[3], e_t[4], e_t[5], e_t[6]]
+        e_m = _win_update(mid, MID_F, pop_m, pop_t, new)
+        state, fh = push_head(state, fh, pop_m, e_m)
+        fm = fm + pop_t.astype(jnp.int32) - pop_m.astype(jnp.int32)
+        return state, fm, fh
+
+    def consume(j, carry):
+        state, ft, fm, fh = carry
+        a_j = ad_scr[0, pl.ds(j, 1), :]
+        vt = ad_scr[4, pl.ds(j, 1), :] > 0.5
+        pop_t = vt & (ft == kt)
+        new = [
+            ad_scr[1, pl.ds(j, 1), :],  # key = d_tail
+            ad_scr[2, pl.ds(j, 1), :],  # d_mid
+            ad_scr[3, pl.ds(j, 1), :],  # d_head
+            a_j,
+            ad_scr[5, pl.ds(j, 1), :],
+            ad_scr[6, pl.ds(j, 1), :],
+            ad_scr[7, pl.ds(j, 1), :],
+        ]
+        e_t = _win_update(tail, TAIL_F, pop_t, vt, new)
+        state, fm, fh = push_mid(state, fm, fh, pop_t, e_t)
+        ft = ft + vt.astype(jnp.int32) - pop_t.astype(jnp.int32)
+        return state, ft, fm, fh
+
+    def body(kk, carry):
+        slot = kk % 2
+
+        @pl.when(kk + 1 < rounds)
+        def _():
+            get_dma((kk + 1) % 2, kk + 1).start()
+
+        get_dma(slot, kk).wait()
+        rows = _intake(
+            buf[slot], pixf_x, pixf_y, cam_ref, count - kk * chunk,
+            width, height, hier_4x4_culling,
+        )
+        for i, r in enumerate(rows):
+            ad_scr[i] = r.T
+        return jax.lax.fori_loop(0, chunk, consume, carry)
+
+    ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
+    zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
+    zi = jnp.zeros((1, TILE_PIXELS), jnp.int32)
+    state0 = (ones, zeros, zeros, zeros, zeros, zeros)
+    state, ft, fm, fh = jax.lax.fori_loop(
+        0, rounds, body, (state0, zi, zi, zi)
+    )
+
+    inf_new_t = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (TAIL_F - 1)
+    inf_new_m = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (MID_F - 1)
+
+    def drain_tail(_, carry):
+        state, ft, fm, fh = carry
+        pop_t = ft > 0
+        e_t = _win_update(
+            tail, TAIL_F, pop_t, jnp.zeros((1, TILE_PIXELS), bool), inf_new_t
+        )
+        state, fm, fh = push_mid(state, fm, fh, pop_t, e_t)
+        ft = ft - pop_t.astype(jnp.int32)
+        return state, ft, fm, fh
+
+    state, ft, fm, fh = jax.lax.fori_loop(
+        0, kt, drain_tail, (state, ft, fm, fh)
+    )
+
+    def drain_mid(_, carry):
+        state, fm, fh = carry
+        pop_m = fm > 0
+        e_m = _win_update(
+            mid, MID_F, pop_m, jnp.zeros((1, TILE_PIXELS), bool), inf_new_m
+        )
+        state, fh = push_head(state, fh, pop_m, e_m)
+        fm = fm - pop_m.astype(jnp.int32)
+        return state, fm, fh
+
+    state, fm, fh = jax.lax.fori_loop(0, km, drain_mid, (state, fm, fh))
+
+    def drain_head(_, carry):
+        state, fh = carry
+        pop_h = fh > 0
+        e_h = head_front = [head[f, 0:1, :] for f in range(HEAD_F)]
+        state, _, _ = _blend_one(state, pop_h, e_h[1], e_h[2], e_h[3], e_h[4])
+        for f in range(HEAD_F):
+            x = head[f]
+            pad = jnp.inf if f == 0 else 0.0
+            head[f] = jnp.where(
+                pop_h,
+                jnp.concatenate([x[1:], jnp.full_like(x[:1], pad)], axis=0),
+                x,
+            )
+        fh = fh - pop_h.astype(jnp.int32)
+        return state, fh
+
+    state, fh = jax.lax.fori_loop(0, kh, drain_head, (state, fh))
+
+    T, Cr, Cg, Cb, nc, done = state
+    out_ref[0] = jnp.concatenate(
+        [
+            Cr + T * bg_ref[0],
+            Cg + T * bg_ref[1],
+            Cb + T * bg_ref[2],
+            T,
+            nc,
+            jnp.zeros((3, TILE_PIXELS), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+def blend_hier_forward(
+    payload: jnp.ndarray,   # [32, C_pad] f32 feature-major
+    starts: jnp.ndarray,
+    counts: jnp.ndarray,
+    bg: jnp.ndarray,
+    cam: jnp.ndarray,       # [19] inverse_vp flat + campos
+    *,
+    grid_x: int,
+    grid_y: int,
+    queue_sizes=(64, 8, 4),
+    width: int,
+    height: int,
+    hier_4x4_culling: bool = False,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """Run the hierarchical forward blend. Returns packed [T, 8, 256]."""
+    kt, km, kh = queue_sizes
+    num_tiles = grid_x * grid_y
+    kernel = functools.partial(
+        _fwd_kernel, kt=kt, km=km, kh=kh, chunk=chunk, grid_x=grid_x,
+        width=width, height=height, hier_4x4_culling=hier_4x4_culling,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, KB_PAYLOAD_F, chunk), jnp.float32),
+            pltpu.VMEM((FWD_STAGE, chunk, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((TAIL_F, kt, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((MID_F, km, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((HEAD_F, kh, TILE_PIXELS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, TILE_PIXELS), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, counts, bg, cam, payload)

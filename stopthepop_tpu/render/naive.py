@@ -439,3 +439,281 @@ def render_kbuffer_naive(
     state, _ = jax.lax.scan(drain, state, None, length=k)
     _, _, T, C, nc, _ = state
     return _finalize(C, T, bg, width, height), T, nc
+
+
+# ---------------------------------------------------------------------------
+# HIERARCHICAL oracle
+# ---------------------------------------------------------------------------
+#
+# TPU re-architecture of the paper's hierarchical resorting renderer
+# (hierarchical_render.cuh:207-1035). The reference pumps Gaussians through a
+# 3-level queue hierarchy — a 64-slot "tail" per 4x4-pixel sub-tile, an
+# M-slot "mid" per 2x2 quad, an H-slot per-pixel "head" — re-evaluating the
+# max-contribution depth at finer ray granularity at each level (sub-tile
+# center -> quad center -> exact pixel ray), so most sorting work is shared
+# by groups of nearby rays.
+#
+# Our schedule replaces the CUDA batch/merge cadence (32-entry batcher sort,
+# shfl distribution) with an element-at-a-time cascade that keeps identical
+# queue semantics: each level is a sorted window; when a full window receives
+# an entry it pops its *front* (nearest) entry down to the next level; the
+# head pop is the blend. Window content is group-uniform by construction
+# (tail state is identical for all 16 pixels of a sub-tile, mid for the 4
+# pixels of a quad), which is what makes the [K, pixels] vectorization of the
+# Pallas kernel exact. Queue sizes map 1:1 to the reference's
+# SortQueueSizes (tile_4x4, tile_2x2, per_pixel; rasterizer.h:43-48).
+#
+# Culling parity: tile-based culling gates the stream (as in duplication);
+# hierarchical 4x4 culling (stopthepop_common.cuh CULL_ALPHA) drops entries
+# whose max contribution over the sub-tile rect is below the opacity
+# threshold; entries with negative sub-tile-center depth are dropped at tail
+# entry; per-pixel alpha masking happens at blend time (entries ride through
+# the hierarchy with alpha 0 for pixels they do not touch).
+
+
+def _hwin_front(win):
+    return {f: v[0] for f, v in win.items()}
+
+
+def _hwin_shift(win, m):
+    def shift(x, pad):
+        shifted = jnp.concatenate([x[1:], jnp.full_like(x[:1], pad)], axis=0)
+        return jnp.where(m[None, :], shifted, x)
+
+    return {f: shift(v, jnp.inf if f == "key" else 0.0) for f, v in win.items()}
+
+
+def _hwin_insert(win, v, new):
+    K = win["key"].shape[0]
+    pos = jnp.sum(win["key"] <= new["key"][None, :], axis=0)
+    ik = jnp.arange(K, dtype=pos.dtype)[:, None]
+
+    def ins(x, nv):
+        shifted = jnp.concatenate([x[:1], x[:-1]], axis=0)
+        out = jnp.where(
+            ik < pos[None, :],
+            x,
+            jnp.where(ik == pos[None, :], nv[None, :], shifted),
+        )
+        return jnp.where(v[None, :], out, x)
+
+    return {f: ins(win[f], new[f]) for f in win}
+
+
+def _blend_one(T, C, nc, done, popm, a0, r0, g0, b0):
+    """Blend one popped entry where ``popm`` (same math as _kbuffer_pop)."""
+    U = T * (1.0 - a0)
+    commit = popm & ~done & (U >= T_THRESHOLD)
+    done = done | (popm & (U < T_THRESHOLD))
+    w = jnp.where(commit, a0 * T, 0.0)
+    C = C + w[:, None] * jnp.stack([r0, g0, b0], axis=-1)
+    T = jnp.where(commit, U, T)
+    nc = nc + (commit & (a0 > 0.0)).astype(nc.dtype)
+    return T, C, nc, done
+
+
+def subtile_center(pix):
+    """Center pixel coordinate of the 4x4 sub-tile containing each pixel."""
+    return jnp.floor(pix / 4.0) * 4.0 + 1.5
+
+
+def quad_center(pix):
+    """Center pixel coordinate of the 2x2 quad containing each pixel."""
+    return jnp.floor(pix / 2.0) * 2.0 + 0.5
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "queue_sizes", "sort_order", "tile_based_culling",
+        "hier_4x4_culling",
+    ),
+)
+def render_hierarchical_naive(
+    prep: PreprocessOutput,
+    bg: jnp.ndarray,
+    width: int,
+    height: int,
+    campos: jnp.ndarray,
+    inverse_vp: jnp.ndarray,
+    queue_sizes=(64, 8, 4),
+    sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
+    tile_based_culling: bool = False,
+    hier_4x4_culling: bool = False,
+):
+    """HIERARCHICAL oracle. Returns (color [3,H,W], final_T, n_contrib)."""
+    kt, km, kh = queue_sizes
+    P = prep.mean2d.shape[0]
+    N = width * height
+    pix = _pixel_grid(width, height)
+    pix_tile = jnp.stack(
+        [
+            (pix[:, 0] // TILE_X).astype(jnp.int32),
+            (pix[:, 1] // TILE_Y).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+
+    def ray_depth(target_pix):
+        vd = compute_view_ray(target_pix, width, height, inverse_vp, campos)
+        return depth_along_ray(prep.cov3d_inv9[:, None, :], vd[None, :, :])
+
+    d_head = ray_depth(pix)                   # [P, N]
+    d_mid = ray_depth(quad_center(pix))
+    d_tail = ray_depth(subtile_center(pix))
+
+    alpha, skip = _alpha(prep.conic_opacity, prep.mean2d, pix)
+    in_rect = (
+        (pix_tile[None, :, 0] >= prep.rect_min[:, None, 0])
+        & (pix_tile[None, :, 0] < prep.rect_max[:, None, 0])
+        & (pix_tile[None, :, 1] >= prep.rect_min[:, None, 1])
+        & (pix_tile[None, :, 1] < prep.rect_max[:, None, 1])
+    )
+    stream_valid = in_rect & prep.valid[:, None]
+    if tile_based_culling:
+        tile_min, tile_max = tile_rect_bounds(
+            pix_tile[None, :, 0], pix_tile[None, :, 1]
+        )
+        power, _ = max_contrib_power_rect(
+            prep.conic_opacity[:, None, :], prep.mean2d[:, None, :],
+            tile_min, tile_max,
+        )
+        stream_valid = stream_valid & (
+            power <= prep.opacity_power_threshold[:, None]
+        )
+    # Per-pixel blend alpha (0 = ride through without contributing).
+    a_eff = jnp.where(skip | ~stream_valid | (d_head < 0.0), 0.0, alpha)
+    # Tail-entry validity (sub-tile uniform).
+    v_tail = stream_valid & (d_tail >= 0.0)
+    if hier_4x4_culling:
+        st_min = jnp.floor(pix / 4.0) * 4.0  # [N, 2]
+        st_max = st_min + 3.0
+        power4, _ = max_contrib_power_rect(
+            prep.conic_opacity[:, None, :], prep.mean2d[:, None, :],
+            st_min[None], st_max[None], patch_w=3, patch_h=3,
+        )
+        v_tail = v_tail & (power4 <= prep.opacity_power_threshold[:, None])
+
+    stream_key = pair_stream_keys(
+        prep, pix_tile, sort_order, campos, inverse_vp, width, height
+    )
+    stream_key = jnp.where(stream_valid, stream_key, jnp.inf)
+    order = jnp.argsort(stream_key, axis=0, stable=True)
+
+    def sort_by(x):
+        return jnp.take_along_axis(x, order, axis=0)
+
+    a_s = sort_by(a_eff)
+    dt_s = sort_by(d_tail)
+    dm_s = sort_by(d_mid)
+    dh_s = sort_by(d_head)
+    vt_s = jnp.take_along_axis(v_tail, order, axis=0)
+    rgb_s = prep.rgb[order]  # [P, N, 3]
+
+    def empty_win(k, fields):
+        w = {"key": jnp.full((k, N), jnp.inf)}
+        w.update({f: jnp.zeros((k, N)) for f in fields})
+        return w
+
+    tail0 = empty_win(kt, ("dm", "dh", "a", "r", "g", "b"))
+    mid0 = empty_win(km, ("dh", "a", "r", "g", "b"))
+    head0 = empty_win(kh, ("a", "r", "g", "b"))
+    zi = jnp.zeros((N,), jnp.int32)
+    state0 = (
+        tail0, mid0, head0, zi, zi, zi,
+        jnp.ones((N,), jnp.float32), jnp.zeros((N, 3), jnp.float32),
+        zi, jnp.zeros((N,), bool),
+    )
+
+    def push_head(mid, head, fh, T, C, nc, done, pop_m):
+        e_m = _hwin_front(mid)
+        pop_h = pop_m & (fh == kh)
+        e_h = _hwin_front(head)
+        T, C, nc, done = _blend_one(
+            T, C, nc, done, pop_h, e_h["a"], e_h["r"], e_h["g"], e_h["b"]
+        )
+        head = _hwin_shift(head, pop_h)
+        fh = fh - pop_h.astype(fh.dtype)
+        head = _hwin_insert(
+            head, pop_m,
+            {"key": e_m["dh"], "a": e_m["a"], "r": e_m["r"], "g": e_m["g"],
+             "b": e_m["b"]},
+        )
+        fh = fh + pop_m.astype(fh.dtype)
+        return head, fh, T, C, nc, done
+
+    def push_mid(tail, mid, head, fm, fh, T, C, nc, done, pop_t):
+        e_t = _hwin_front(tail)
+        pop_m = pop_t & (fm == km)
+        head, fh, T, C, nc, done = push_head(
+            mid, head, fh, T, C, nc, done, pop_m
+        )
+        mid = _hwin_shift(mid, pop_m)
+        fm = fm - pop_m.astype(fm.dtype)
+        mid = _hwin_insert(
+            mid, pop_t,
+            {"key": e_t["dm"], "dh": e_t["dh"], "a": e_t["a"], "r": e_t["r"],
+             "g": e_t["g"], "b": e_t["b"]},
+        )
+        fm = fm + pop_t.astype(fm.dtype)
+        return mid, head, fm, fh, T, C, nc, done
+
+    def step(state, inputs):
+        a_i, dt_i, dm_i, dh_i, vt_i, rgb_i = inputs
+        tail, mid, head, ft, fm, fh, T, C, nc, done = state
+        pop_t = vt_i & (ft == kt)
+        mid, head, fm, fh, T, C, nc, done = push_mid(
+            tail, mid, head, fm, fh, T, C, nc, done, pop_t
+        )
+        tail = _hwin_shift(tail, pop_t)
+        ft = ft - pop_t.astype(ft.dtype)
+        tail = _hwin_insert(
+            tail, vt_i,
+            {"key": dt_i, "dm": dm_i, "dh": dh_i, "a": a_i,
+             "r": rgb_i[:, 0], "g": rgb_i[:, 1], "b": rgb_i[:, 2]},
+        )
+        ft = ft + vt_i.astype(ft.dtype)
+        return (tail, mid, head, ft, fm, fh, T, C, nc, done), None
+
+    state, _ = jax.lax.scan(
+        step, state0, (a_s, dt_s, dm_s, dh_s, vt_s, rgb_s)
+    )
+
+    def drain_tail(state, _):
+        tail, mid, head, ft, fm, fh, T, C, nc, done = state
+        pop_t = ft > 0
+        mid, head, fm, fh, T, C, nc, done = push_mid(
+            tail, mid, head, fm, fh, T, C, nc, done, pop_t
+        )
+        tail = _hwin_shift(tail, pop_t)
+        ft = ft - pop_t.astype(ft.dtype)
+        return (tail, mid, head, ft, fm, fh, T, C, nc, done), None
+
+    state, _ = jax.lax.scan(drain_tail, state, None, length=kt)
+
+    def drain_mid(state, _):
+        tail, mid, head, ft, fm, fh, T, C, nc, done = state
+        pop_m = fm > 0
+        head, fh, T, C, nc, done = push_head(
+            mid, head, fh, T, C, nc, done, pop_m
+        )
+        mid = _hwin_shift(mid, pop_m)
+        fm = fm - pop_m.astype(fm.dtype)
+        return (tail, mid, head, ft, fm, fh, T, C, nc, done), None
+
+    state, _ = jax.lax.scan(drain_mid, state, None, length=km)
+
+    def drain_head(state, _):
+        tail, mid, head, ft, fm, fh, T, C, nc, done = state
+        pop_h = fh > 0
+        e_h = _hwin_front(head)
+        T, C, nc, done = _blend_one(
+            T, C, nc, done, pop_h, e_h["a"], e_h["r"], e_h["g"], e_h["b"]
+        )
+        head = _hwin_shift(head, pop_h)
+        fh = fh - pop_h.astype(fh.dtype)
+        return (tail, mid, head, ft, fm, fh, T, C, nc, done), None
+
+    state, _ = jax.lax.scan(drain_head, state, None, length=kh)
+    _, _, _, _, _, _, T, C, nc, _ = state
+    return _finalize(C, T, bg, width, height), T, nc

@@ -113,9 +113,13 @@ def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
     ``chunk`` zero columns absorb the final fixed-size DMA over-read.
     """
     table = jnp.concatenate(
-        [prep.mean2d, prep.conic_opacity, prep.rgb, prep.cov3d_inv9], axis=1
-    )  # [P, 18]
-    feats = table[segs.gauss_id].T  # [18, C_aligned]
+        [
+            prep.mean2d, prep.conic_opacity, prep.rgb, prep.cov3d_inv9,
+            prep.opacity_power_threshold[:, None],
+        ],
+        axis=1,
+    )  # [P, 19]
+    feats = table[segs.gauss_id].T  # [19, C_aligned]
     feats = jnp.pad(feats, ((0, KB_PAYLOAD_F - feats.shape[0]), (0, chunk)))
     return feats
 
@@ -161,6 +165,58 @@ def render_tiled_kbuffer(
     blend = make_blend_kbuffer(
         grid_x, grid_y, k, image_width, image_height, chunk, seg_cap,
         interpret,
+    )
+    packed = blend(payload, segs.starts, segs.counts, bg, cam)
+    color, final_t, n_contrib = unpack_image(
+        packed, grid_x, grid_y, image_width, image_height
+    )
+    return color, final_t, n_contrib, pairs
+
+
+def render_tiled_hier(
+    prep: PreprocessOutput,
+    bg: jnp.ndarray,
+    *,
+    image_width: int,
+    image_height: int,
+    capacity: int,
+    campos,
+    inverse_vp,
+    queue_sizes=(64, 8, 4),
+    sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
+    tile_based_culling: bool = False,
+    hier_4x4_culling: bool = False,
+    chunk: int = 128,
+    seg_cap: int = 16384,
+    interpret: bool = False,
+):
+    """HIERARCHICAL tiled render. Returns (color, final_T, n_contrib,
+    pairs)."""
+    from ..kernels.blend_vjp import make_blend_hier
+
+    grid_x, grid_y = tile_grid(image_width, image_height)
+    num_tiles = grid_x * grid_y
+    pairs = build_pairs(
+        prep,
+        capacity=capacity,
+        grid_x=grid_x,
+        grid_y=grid_y,
+        sort_order=sort_order,
+        tile_based_culling=tile_based_culling,
+        campos=campos,
+        inverse_vp=inverse_vp,
+        image_width=image_width,
+        image_height=image_height,
+    )
+    capacity_aligned = capacity + num_tiles * chunk
+    segs = align_segments(pairs, num_tiles, capacity_aligned, chunk)
+    payload = build_payload_kbuffer(prep, segs, chunk)
+    cam = jnp.concatenate(
+        [inverse_vp.reshape(-1), campos.reshape(-1)]
+    ).astype(jnp.float32)
+    blend = make_blend_hier(
+        grid_x, grid_y, tuple(queue_sizes), image_width, image_height,
+        hier_4x4_culling, chunk, seg_cap, interpret,
     )
     packed = blend(payload, segs.starts, segs.counts, bg, cam)
     color, final_t, n_contrib = unpack_image(

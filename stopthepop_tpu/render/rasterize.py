@@ -31,7 +31,7 @@ from ..config import (
 from ..constants import PAIR_CAPACITY_FACTOR
 from ..ops.transforms import mark_visible
 from .naive import render_full_sort_naive
-from .pipeline import render_tiled, render_tiled_kbuffer
+from .pipeline import render_tiled, render_tiled_hier, render_tiled_kbuffer
 from .preprocess import preprocess
 
 
@@ -148,6 +148,23 @@ def rasterize_gaussians(
             k=int(ext.sort_settings.queue_sizes.per_pixel),
             sort_order=sort_order,
             tile_based_culling=ext.culling_settings.tile_based_culling,
+            interpret=interpret,
+        )
+        overflow = pairs.overflow
+    elif sort_mode == SortMode.HIER:
+        qs = ext.sort_settings.queue_sizes
+        color, final_t, n_contrib, pairs = render_tiled_hier(
+            prep,
+            rs.bg,
+            image_width=W,
+            image_height=H,
+            capacity=capacity,
+            campos=rs.campos,
+            inverse_vp=rs.inv_viewprojmatrix,
+            queue_sizes=(int(qs.tile_4x4), int(qs.tile_2x2), int(qs.per_pixel)),
+            sort_order=sort_order,
+            tile_based_culling=ext.culling_settings.tile_based_culling,
+            hier_4x4_culling=ext.culling_settings.hierarchical_4x4_culling,
             interpret=interpret,
         )
         overflow = pairs.overflow

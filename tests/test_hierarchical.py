@@ -1,0 +1,117 @@
+"""HIERARCHICAL sort mode: Pallas kernel vs the jnp cascade oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stopthepop_tpu.render.duplicate import count_pairs
+from stopthepop_tpu.render.naive import (
+    render_full_sort_naive,
+    render_hierarchical_naive,
+)
+from stopthepop_tpu.render.pipeline import render_tiled_hier
+from stopthepop_tpu.render.preprocess import preprocess
+from stopthepop_tpu.utils.testing import make_camera, random_scene
+
+
+def _prep(scene, cam, **kw):
+    return preprocess(
+        scene.means3d,
+        scene.opacities,
+        scales=scene.scales,
+        rotations=scene.rotations,
+        shs=scene.shs,
+        viewmatrix=cam.viewmatrix,
+        projmatrix=cam.projmatrix,
+        campos=cam.campos,
+        tanfovx=cam.tanfovx,
+        tanfovy=cam.tanfovy,
+        image_width=cam.width,
+        image_height=cam.height,
+        sh_degree=3,
+        **kw,
+    )
+
+
+def test_hier_oracle_big_windows_equal_full_sort():
+    w = h = 32
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(6), 60)
+    prep = _prep(scene, cam)
+    bg = jnp.array([0.2, 0.1, 0.4])
+    img_f, T_f, _ = render_full_sort_naive(
+        prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix
+    )
+    img_h, T_h, _ = render_hierarchical_naive(
+        prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
+        queue_sizes=(64, 64, 64),
+    )
+    np.testing.assert_allclose(np.asarray(img_h), np.asarray(img_f), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(T_h), np.asarray(T_f), atol=2e-6)
+
+
+@pytest.mark.parametrize("queues", [(16, 8, 4), (8, 4, 2)])
+def test_hier_kernel_matches_oracle(queues):
+    w = h = 48
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(8), 150)
+    prep = _prep(scene, cam)
+    bg = jnp.array([0.15, 0.05, 0.3])
+    img_o, T_o, n_o = render_hierarchical_naive(
+        prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix, queue_sizes=queues
+    )
+    cap = int(count_pairs(prep)) + 64
+    img_t, T_t, n_t, pairs = render_tiled_hier(
+        prep, bg, image_width=w, image_height=h, capacity=cap,
+        campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
+        queue_sizes=queues, interpret=True,
+    )
+    assert not bool(pairs.overflow)
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_o), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(T_t).reshape(-1), np.asarray(T_o), atol=3e-5
+    )
+
+
+def test_hier_kernel_4x4_culling_matches_oracle():
+    w = h = 32
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(9), 100)
+    prep = _prep(scene, cam)
+    bg = jnp.zeros(3)
+    cap = int(count_pairs(prep)) + 64
+    img_o, T_o, _ = render_hierarchical_naive(
+        prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
+        queue_sizes=(16, 8, 4), hier_4x4_culling=True, tile_based_culling=True,
+    )
+    img_t, T_t, _, _ = render_tiled_hier(
+        prep, bg, image_width=w, image_height=h, capacity=cap,
+        campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
+        queue_sizes=(16, 8, 4), hier_4x4_culling=True,
+        tile_based_culling=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_o), atol=5e-5)
+
+
+def test_hier_quality_beats_global_vs_full():
+    # The point of the paper: hierarchical resorting approximates the exact
+    # per-pixel sort better than the global order on a scrambled-depth scene.
+    w = h = 32
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(11), 120)
+    prep = _prep(scene, cam)
+    bg = jnp.zeros(3)
+    from stopthepop_tpu.render.naive import render_global_naive
+
+    img_full, _, _ = render_full_sort_naive(
+        prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix
+    )
+    img_glob, _, _ = render_global_naive(prep, bg, w, h)
+    img_hier, _, _ = render_hierarchical_naive(
+        prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
+        queue_sizes=(64, 8, 4),
+    )
+    err_glob = float(jnp.mean(jnp.abs(img_glob - img_full)))
+    err_hier = float(jnp.mean(jnp.abs(img_hier - img_full)))
+    assert err_hier < err_glob
