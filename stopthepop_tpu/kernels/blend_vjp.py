@@ -121,17 +121,33 @@ def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
     return blend
 
 
+def _zero_unwritten(dpay, counts, chunk, seg_cap):
+    """Zero payload-gradient entries the backward kernel never writes."""
+    aligned = ((counts + chunk - 1) // chunk) * chunk
+    incl = jnp.cumsum(aligned)
+    seg_starts = incl - aligned
+    col = jnp.arange(dpay.shape[1], dtype=jnp.int32)
+    t_of = jnp.clip(
+        jnp.searchsorted(incl, col, side="right"), 0, counts.shape[0] - 1
+    )
+    off = col - seg_starts[t_of]
+    colmask = (col < incl[-1]) & (off < seg_cap)
+    row = jnp.arange(dpay.shape[0], dtype=jnp.int32)
+    return jnp.where(colmask[None, :] & (row[:, None] < 9), dpay, 0.0)
+
+
 @functools.lru_cache(maxsize=None)
 def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
                     height: int, hier_4x4_culling: bool, chunk: int,
                     seg_cap: int, interpret: bool):
     """Differentiable hierarchical blend for one static config.
 
-    Forward-only for now: the backward kernel lands with the replay/routing
-    machinery shared with the k-buffer backward.
+    Same gradient surface as the k-buffer blend: payload blendable rows + bg;
+    depth keys and camera get zero gradient (discrete resort).
     """
-    from .hier_blend import blend_hier_forward
+    from .hier_blend import blend_hier_backward, blend_hier_forward
 
+    @jax.custom_vjp
     def blend(payload, starts, counts, bg, cam):
         return blend_hier_forward(
             payload, starts, counts, bg, cam,
@@ -140,4 +156,27 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
             chunk=chunk, interpret=interpret,
         )
 
+    def blend_fwd(payload, starts, counts, bg, cam):
+        packed = blend(payload, starts, counts, bg, cam)
+        return packed, (payload, starts, counts, bg, cam, packed)
+
+    def blend_bwd(res, g_packed):
+        payload, starts, counts, bg, cam, packed = res
+        dpay = blend_hier_backward(
+            payload, packed, g_packed, starts, counts, bg, cam,
+            grid_x=grid_x, grid_y=grid_y, queue_sizes=queue_sizes,
+            width=width, height=height, hier_4x4_culling=hier_4x4_culling,
+            chunk=chunk, seg_cap=seg_cap, interpret=interpret,
+        )
+        dpay = _zero_unwritten(dpay, counts, chunk, seg_cap)
+        d_bg = jnp.einsum("tcp,tp->c", g_packed[:, 0:3, :], packed[:, 3, :])
+        return (
+            dpay,
+            _int_zero_tangent(starts),
+            _int_zero_tangent(counts),
+            d_bg,
+            jnp.zeros_like(cam),
+        )
+
+    blend.defvjp(blend_fwd, blend_bwd)
     return blend

@@ -421,3 +421,342 @@ def blend_hier_forward(
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, counts, bg, cam, payload)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+#
+# Replay of the forward cascade with gradient emission at the head pop (the
+# blend event), exactly like the reference's hierarchical backward which
+# reuses the forward sorting skeleton with blend lambdas that emit gradients
+# front-to-back (hierarchical_render.cuh:1038-1175, suffix reconstructed as
+# (final_color - C)/test_T). Window entries additionally carry their payload
+# features and source pair index; gradient routing to source payload columns
+# uses the same guarded one-hot MXU matmuls as the k-buffer backward
+# (kbuffer_blend.py). Depth keys get no gradient (discrete resort), matching
+# the reference.
+
+# Backward window layouts (leading row = sort key):
+TAIL_B = 14  # key, d_mid, d_head, a, r, g, b, x, y, ca, cb, cc, opw, src
+MID_B = 13   # key(d_mid), d_head, a, r, g, b, x, y, ca, cb, cc, opw, src
+HEAD_B = 12  # key(d_head), a, r, g, b, x, y, ca, cb, cc, opw, src
+BWD_STAGE = 14  # a, dt, dm, dh, vt, r, g, b, x, y, ca, cb, cc, opw
+GRAD_ROWS = 16
+
+
+def _bwd_kernel(
+    starts_ref, counts_ref, bg_ref, cam_ref,  # scalar prefetch
+    payload_ref,                              # HBM [32, C_pad]
+    fwd_ref,                                  # VMEM [1, 8, 256]
+    grad_ref,                                 # VMEM [1, 8, 256]
+    dpay_ref,                                 # HBM out [32, C_pad]
+    buf, ad_scr, tail, mid, head, dseg, sems, wsem,  # scratch
+    *, kt: int, km: int, kh: int, chunk: int, seg_cap: int, grid_x: int,
+    width: int, height: int, hier_4x4_culling: bool,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    rounds = pl.cdiv(count, chunk)
+    max_route = seg_cap // chunk
+    tx = t % grid_x
+    ty = t // grid_x
+    pixf_x, pixf_y = _tile_pixels_sublanes(tx, ty)
+    plx, ply = _tile_pixels_lanes(tx, ty)
+
+    gp = grad_ref[0]
+    fw = fwd_ref[0]
+    g_r, g_g, g_b = gp[0:1, :], gp[1:2, :], gp[2:3, :]
+    g_T = gp[3:4, :]
+    T_final = fw[3:4, :]
+    KT = (g_r * bg_ref[0] + g_g * bg_ref[1] + g_b * bg_ref[2] + g_T) * T_final
+    ctot_g = (
+        (fw[0:1, :] - T_final * bg_ref[0]) * g_r
+        + (fw[1:2, :] - T_final * bg_ref[1]) * g_g
+        + (fw[2:3, :] - T_final * bg_ref[2]) * g_b
+    )
+
+    tail[...] = jnp.zeros((TAIL_B, kt, TILE_PIXELS))
+    tail[0] = jnp.full((kt, TILE_PIXELS), jnp.inf)
+    mid[...] = jnp.zeros((MID_B, km, TILE_PIXELS))
+    mid[0] = jnp.full((km, TILE_PIXELS), jnp.inf)
+    head[...] = jnp.zeros((HEAD_B, kh, TILE_PIXELS))
+    head[0] = jnp.full((kh, TILE_PIXELS), jnp.inf)
+    dseg[...] = jnp.zeros((GRAD_ROWS, seg_cap), jnp.float32)
+
+    def get_dma(slot, kk):
+        offset = pl.multiple_of(start + kk * chunk, chunk)
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(rounds > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def blend_grads(state, pop_h, e_h):
+        """Blend the popped head entry + emit/route its gradients.
+
+        e_h rows: key, a, r, g, b, x, y, ca, cb, cc, opw, src.
+        state: (T, acc_g, done) of [1, 256].
+        """
+        T, acc_g, done = state
+        a0 = e_h[1]
+        U = T * (1.0 - a0)
+        commit = pop_h & (done < 0.5) & (U >= T_THRESHOLD)
+        done = jnp.maximum(
+            done, (pop_h & (U < T_THRESHOLD)).astype(jnp.float32)
+        )
+        cdotg = e_h[2] * g_r + e_h[3] * g_g + e_h[4] * g_b
+        w = jnp.where(commit, a0 * T, 0.0)
+        acc_g = acc_g + w * cdotg
+        suffix = ctot_g - acc_g
+        galpha = jnp.where(
+            commit & (a0 < ALPHA_MAX),
+            cdotg * T - (suffix + KT) / (1.0 - a0),
+            0.0,
+        )
+        dxp = e_h[5] - plx
+        dyp = e_h[6] - ply
+        ca0, cb0, cc0 = e_h[7], e_h[8], e_h[9]
+        dfactor = -a0 * galpha
+        grad_rows = [
+            dfactor * (ca0 * dxp + cb0 * dyp),
+            dfactor * (cc0 * dyp + cb0 * dxp),
+            dfactor * 0.5 * dxp * dxp,
+            dfactor * dxp * dyp,
+            dfactor * 0.5 * dyp * dyp,
+            galpha * a0 / jnp.maximum(e_h[10], 1e-12),
+            w * g_r,
+            w * g_g,
+            w * g_b,
+        ]
+        gradfeat = jnp.concatenate(
+            grad_rows
+            + [jnp.zeros((GRAD_ROWS - len(grad_rows), TILE_PIXELS))],
+            axis=0,
+        )
+
+        src = e_h[11].astype(jnp.int32)
+        route = commit & (src >= 0) & (src < seg_cap)
+        chunk_id = jnp.where(route, src // chunk, 0)
+        cmin = jnp.min(jnp.where(route, chunk_id, max_route))
+        cmax = jnp.max(jnp.where(route, chunk_id, -1))
+
+        def route_chunk(r, _):
+            sel = route & (chunk_id == r)
+            colm = jnp.where(sel, src - r * chunk, -1)
+            col_t = colm.T
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, chunk), 1)
+            onehot = (col_t == lane).astype(jnp.float32)
+            dchunk = jax.lax.dot_general(
+                gradfeat, onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            off = pl.multiple_of(r * chunk, chunk)
+            dseg[:, pl.ds(off, chunk)] += dchunk
+            return 0
+
+        jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
+        T = jnp.where(commit, U, T)
+        return (T, acc_g, done)
+
+    def push_head(state, fh, pop_m, e_m):
+        # e_m rows: key, dh, a, r, g, b, x, y, ca, cb, cc, opw, src
+        pop_h = pop_m & (fh == kh)
+        new = list(e_m[1:])  # drop the mid key; dh becomes the head key
+        e_h = _win_update(head, HEAD_B, pop_h, pop_m, new)
+        state = blend_grads(state, pop_h, e_h)
+        fh = fh + pop_m.astype(jnp.int32) - pop_h.astype(jnp.int32)
+        return state, fh
+
+    def push_mid(state, fm, fh, pop_t, e_t):
+        pop_m = pop_t & (fm == km)
+        new = list(e_t[1:])  # drop the tail key; dm becomes the mid key
+        e_m = _win_update(mid, MID_B, pop_m, pop_t, new)
+        state, fh = push_head(state, fh, pop_m, e_m)
+        fm = fm + pop_t.astype(jnp.int32) - pop_m.astype(jnp.int32)
+        return state, fm, fh
+
+    def consume(j, carry, base):
+        state, ft, fm, fh = carry
+        vt = ad_scr[4, pl.ds(j, 1), :] > 0.5
+        pop_t = vt & (ft == kt)
+        srcv = (
+            jnp.zeros((1, TILE_PIXELS), jnp.float32) + (base + j)
+        )
+        new = [
+            ad_scr[1, pl.ds(j, 1), :],   # key = d_tail
+            ad_scr[2, pl.ds(j, 1), :],   # d_mid
+            ad_scr[3, pl.ds(j, 1), :],   # d_head
+            ad_scr[0, pl.ds(j, 1), :],   # a
+            ad_scr[5, pl.ds(j, 1), :],   # r
+            ad_scr[6, pl.ds(j, 1), :],   # g
+            ad_scr[7, pl.ds(j, 1), :],   # b
+            ad_scr[8, pl.ds(j, 1), :],   # x
+            ad_scr[9, pl.ds(j, 1), :],   # y
+            ad_scr[10, pl.ds(j, 1), :],  # ca
+            ad_scr[11, pl.ds(j, 1), :],  # cb
+            ad_scr[12, pl.ds(j, 1), :],  # cc
+            ad_scr[13, pl.ds(j, 1), :],  # opw
+            srcv,                        # src (as float; exact below 2^24)
+        ]
+        e_t = _win_update(tail, TAIL_B, pop_t, vt, new)
+        state, fm, fh = push_mid(state, fm, fh, pop_t, e_t)
+        ft = ft + vt.astype(jnp.int32) - pop_t.astype(jnp.int32)
+        return state, ft, fm, fh
+
+    def body(kk, carry):
+        slot = kk % 2
+
+        @pl.when(kk + 1 < rounds)
+        def _():
+            get_dma((kk + 1) % 2, kk + 1).start()
+
+        get_dma(slot, kk).wait()
+        data = buf[slot]
+        rows = _intake(
+            data, pixf_x, pixf_y, cam_ref, count - kk * chunk,
+            width, height, hier_4x4_culling,
+        )
+        for i, r in enumerate(rows):
+            ad_scr[i] = r.T
+        feat_rows = (0, 1, 2, 3, 4, 5)  # x y ca cb cc opw
+        for i, f in enumerate(feat_rows):
+            ad_scr[8 + i] = jnp.broadcast_to(
+                data[f:f + 1, :].T, (chunk, TILE_PIXELS)
+            )
+        return jax.lax.fori_loop(
+            0, chunk, lambda j, c: consume(j, c, kk * chunk), carry
+        )
+
+    ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
+    zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
+    zi = jnp.zeros((1, TILE_PIXELS), jnp.int32)
+    state0 = (ones, zeros, zeros)  # T, acc.g, done
+    state, ft, fm, fh = jax.lax.fori_loop(
+        0, rounds, body, (state0, zi, zi, zi)
+    )
+
+    inf_new_t = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (TAIL_B - 1)
+    inf_new_m = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (MID_B - 1)
+    nomask = jnp.zeros((1, TILE_PIXELS), bool)
+
+    def drain_tail(_, carry):
+        state, ft, fm, fh = carry
+        pop_t = ft > 0
+        e_t = _win_update(tail, TAIL_B, pop_t, nomask, inf_new_t)
+        state, fm, fh = push_mid(state, fm, fh, pop_t, e_t)
+        ft = ft - pop_t.astype(jnp.int32)
+        return state, ft, fm, fh
+
+    state, ft, fm, fh = jax.lax.fori_loop(
+        0, kt, drain_tail, (state, ft, fm, fh)
+    )
+
+    def drain_mid(_, carry):
+        state, fm, fh = carry
+        pop_m = fm > 0
+        e_m = _win_update(mid, MID_B, pop_m, nomask, inf_new_m)
+        state, fh = push_head(state, fh, pop_m, e_m)
+        fm = fm - pop_m.astype(jnp.int32)
+        return state, fm, fh
+
+    state, fm, fh = jax.lax.fori_loop(0, km, drain_mid, (state, fm, fh))
+
+    def drain_head(_, carry):
+        state, fh = carry
+        pop_h = fh > 0
+        e_h = [head[f, 0:1, :] for f in range(HEAD_B)]
+        state = blend_grads(state, pop_h, e_h)
+        for f in range(HEAD_B):
+            x = head[f]
+            pad = jnp.inf if f == 0 else 0.0
+            head[f] = jnp.where(
+                pop_h,
+                jnp.concatenate([x[1:], jnp.full_like(x[:1], pad)], axis=0),
+                x,
+            )
+        fh = fh - pop_h.astype(jnp.int32)
+        return state, fh
+
+    state, fh = jax.lax.fori_loop(0, kh, drain_head, (state, fh))
+
+    def writeback(r, _):
+        off = pl.multiple_of(r * chunk, chunk)
+        dst = pl.multiple_of(start + r * chunk, chunk)
+        cp = pltpu.make_async_copy(
+            dseg.at[:, pl.ds(off, chunk)],
+            dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
+            wsem,
+        )
+        cp.start()
+        cp.wait()
+        return 0
+
+    jax.lax.fori_loop(0, jnp.minimum(rounds, max_route), writeback, 0)
+
+
+def blend_hier_backward(
+    payload: jnp.ndarray,
+    fwd_packed: jnp.ndarray,
+    grad_packed: jnp.ndarray,
+    starts: jnp.ndarray,
+    counts: jnp.ndarray,
+    bg: jnp.ndarray,
+    cam: jnp.ndarray,
+    *,
+    grid_x: int,
+    grid_y: int,
+    queue_sizes=(64, 8, 4),
+    width: int,
+    height: int,
+    hier_4x4_culling: bool = False,
+    chunk: int = 128,
+    seg_cap: int = 16384,
+    interpret: bool = False,
+):
+    """Returns d_payload [32, C_pad] (rows 0..8 of written segments)."""
+    kt, km, kh = queue_sizes
+    num_tiles = grid_x * grid_y
+    kernel = functools.partial(
+        _bwd_kernel, kt=kt, km=km, kh=kh, chunk=chunk, seg_cap=seg_cap,
+        grid_x=grid_x, width=width, height=height,
+        hier_4x4_culling=hier_4x4_culling,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, KB_PAYLOAD_F, chunk), jnp.float32),
+            pltpu.VMEM((BWD_STAGE, chunk, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((TAIL_B, kt, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((MID_B, km, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((HEAD_B, kh, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((GRAD_ROWS, seg_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(payload.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, counts, bg, cam, payload, fwd_packed, grad_packed)

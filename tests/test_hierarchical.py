@@ -115,3 +115,57 @@ def test_hier_quality_beats_global_vs_full():
     err_glob = float(jnp.mean(jnp.abs(img_glob - img_full)))
     err_hier = float(jnp.mean(jnp.abs(img_hier - img_full)))
     assert err_hier < err_glob
+
+
+def test_hier_grads_match_oracle():
+    w = h = 48
+    queues = (8, 4, 2)
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(16), 100)
+    bg = jnp.array([0.3, 0.1, 0.2])
+    weights = jax.random.normal(jax.random.PRNGKey(99), (3, h, w))
+
+    def prep_of(means, scales, rots, opac, colors):
+        return preprocess(
+            means, opac, scales=scales, rotations=rots,
+            colors_precomp=colors,
+            viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+            campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            image_width=w, image_height=h,
+        )
+
+    prep0 = prep_of(scene.means3d, scene.scales, scene.rotations,
+                    scene.opacities, scene.colors)
+    cap = int(count_pairs(prep0)) + 64
+
+    def loss_oracle(means, scales, rots, opac, col):
+        img, final_t, _ = render_hierarchical_naive(
+            prep_of(means, scales, rots, opac, col), bg, w, h,
+            cam.campos, cam.inv_viewprojmatrix, queue_sizes=queues,
+        )
+        return jnp.sum(img * weights) + 0.1 * jnp.sum(final_t)
+
+    def loss_tiled(means, scales, rots, opac, col):
+        img, final_t, _, _ = render_tiled_hier(
+            prep_of(means, scales, rots, opac, col), bg,
+            image_width=w, image_height=h, capacity=cap,
+            campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
+            queue_sizes=queues, interpret=True,
+        )
+        return jnp.sum(img * weights) + 0.1 * jnp.sum(final_t)
+
+    args = (scene.means3d, scene.scales, scene.rotations, scene.opacities,
+            scene.colors)
+    v_o, g_o = jax.value_and_grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(*args)
+    v_t, g_t = jax.value_and_grad(loss_tiled, argnums=(0, 1, 2, 3, 4))(*args)
+
+    np.testing.assert_allclose(float(v_o), float(v_t), rtol=1e-5)
+    names = ["means3d", "scales", "rotations", "opacities", "colors"]
+    for name, a, b in zip(names, g_o, g_t):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all(), name
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b, a, atol=3e-4 * scale, rtol=3e-3,
+            err_msg=f"hier gradient mismatch for {name}",
+        )
