@@ -20,9 +20,12 @@ TPU-native re-architecture of the reference's renderCUDA (forward.cu:234-366):
 Payload layout (feature-major so chunk DMAs slice the 128-aligned lane axis):
   payload [16, C_padded] float32, rows =
     0 xy.x | 1 xy.y | 2 conic.a | 3 conic.b | 4 conic.c | 5 opacity |
-    6 r | 7 g | 8 b | 9.. zero padding
+    6 r | 7 g | 8 b | 9 depth | 10.. zero padding
 Output: [num_tiles, 8, 256] packed rows =
-  (r, g, b, final_T, n_contrib, 0, 0, 0), pixels row-major within the tile.
+  (r, g, b, final_T, n_contrib, depth_acc, 0, 0), pixels row-major within the
+  tile; depth_acc = sum(depth * alpha * T), the reference's Depth debug
+  visualization accumulator (stopthepop_common.cuh:277-298), rides in the
+  color matmul for free and is non-differentiable (its cotangent is ignored).
 """
 
 from __future__ import annotations
@@ -130,7 +133,7 @@ def _fwd_kernel(
         get_dma(0, 0).start()
 
     def body(k, carry):
-        T, C, nc = carry  # [256,1], [256,3], [256,1]
+        T, C, nc = carry  # [256,1], [256,4], [256,1]
         slot = k % 2
 
         @pl.when(k + 1 < rounds)
@@ -143,7 +146,7 @@ def _fwd_kernel(
         U, T_before, commit, T_new = _blend_chunk(eff, tri, T)
         w = eff * T_before * commit  # [256, CH]
         C = C + jax.lax.dot_general(
-            w, data[6:9, :],
+            w, data[6:10, :],  # r, g, b, depth in one MXU pass
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -161,7 +164,7 @@ def _fwd_kernel(
         body,
         (
             jnp.ones((TILE_PIXELS, 1), jnp.float32),
-            jnp.zeros((TILE_PIXELS, 3), jnp.float32),
+            jnp.zeros((TILE_PIXELS, 4), jnp.float32),
             jnp.zeros((TILE_PIXELS, 1), jnp.float32),
         ),
     )
@@ -172,7 +175,8 @@ def _fwd_kernel(
             C[:, 2:3] + T * bg_ref[2],
             T,
             nc,
-            jnp.zeros((TILE_PIXELS, 3), jnp.float32),
+            C[:, 3:4],
+            jnp.zeros((TILE_PIXELS, 2), jnp.float32),
         ],
         axis=1,
     )  # [256, 8]
@@ -223,7 +227,8 @@ def unpack_image(packed, grid_x: int, grid_y: int, width: int, height: int):
     color = full[0:3, :height, :width]
     final_t = full[3, :height, :width]
     n_contrib = full[4, :height, :width].astype(jnp.int32)
-    return color, final_t, n_contrib
+    depth_acc = full[5, :height, :width]
+    return color, final_t, n_contrib, depth_acc
 
 
 # ---------------------------------------------------------------------------

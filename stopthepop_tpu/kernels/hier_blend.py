@@ -203,9 +203,10 @@ def _win_update(scr, num_f, popm, v, new):
     return front
 
 
-def _blend_one(state, popm, a0, r0, g0, b0):
-    """(T, Cr, Cg, Cb, nc, done) [1, 256]; same math as the k-buffer pop."""
-    T, Cr, Cg, Cb, nc, done = state
+def _blend_one(state, popm, a0, r0, g0, b0, d0):
+    """(T, Cr, Cg, Cb, nc, done, D) [1, 256]; same math as the k-buffer pop
+    (D accumulates w * ray_depth for the Depth debug visualization)."""
+    T, Cr, Cg, Cb, nc, done, D = state
     U = T * (1.0 - a0)
     commit = popm & (done < 0.5) & (U >= T_THRESHOLD)
     done = jnp.maximum(done, (popm & (U < T_THRESHOLD)).astype(jnp.float32))
@@ -213,9 +214,10 @@ def _blend_one(state, popm, a0, r0, g0, b0):
     Cr = Cr + w * r0
     Cg = Cg + w * g0
     Cb = Cb + w * b0
+    D = D + w * d0
     T = jnp.where(commit, U, T)
     nc = nc + (commit & (a0 > 0.0)).astype(jnp.float32)
-    return (T, Cr, Cg, Cb, nc, done), commit, w
+    return (T, Cr, Cg, Cb, nc, done, D), commit, w
 
 
 def _fwd_kernel(
@@ -258,7 +260,9 @@ def _fwd_kernel(
         pop_h = pop_m & (fh == kh)
         new = [e_m[1], e_m[2], e_m[3], e_m[4], e_m[5]]
         e_h = _win_update(head, HEAD_F, pop_h, pop_m, new)
-        state, _, _ = _blend_one(state, pop_h, e_h[1], e_h[2], e_h[3], e_h[4])
+        state, _, _ = _blend_one(
+            state, pop_h, e_h[1], e_h[2], e_h[3], e_h[4], e_h[0]
+        )
         fh = fh + pop_m.astype(jnp.int32) - pop_h.astype(jnp.int32)
         return state, fh
 
@@ -309,7 +313,7 @@ def _fwd_kernel(
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
     zi = jnp.zeros((1, TILE_PIXELS), jnp.int32)
-    state0 = (ones, zeros, zeros, zeros, zeros, zeros)
+    state0 = (ones, zeros, zeros, zeros, zeros, zeros, zeros)
     state, ft, fm, fh = jax.lax.fori_loop(
         0, rounds, body, (state0, zi, zi, zi)
     )
@@ -346,8 +350,10 @@ def _fwd_kernel(
     def drain_head(_, carry):
         state, fh = carry
         pop_h = fh > 0
-        e_h = head_front = [head[f, 0:1, :] for f in range(HEAD_F)]
-        state, _, _ = _blend_one(state, pop_h, e_h[1], e_h[2], e_h[3], e_h[4])
+        e_h = [head[f, 0:1, :] for f in range(HEAD_F)]
+        state, _, _ = _blend_one(
+            state, pop_h, e_h[1], e_h[2], e_h[3], e_h[4], e_h[0]
+        )
         for f in range(HEAD_F):
             x = head[f]
             pad = jnp.inf if f == 0 else 0.0
@@ -361,7 +367,7 @@ def _fwd_kernel(
 
     state, fh = jax.lax.fori_loop(0, kh, drain_head, (state, fh))
 
-    T, Cr, Cg, Cb, nc, done = state
+    T, Cr, Cg, Cb, nc, done, D = state
     out_ref[0] = jnp.concatenate(
         [
             Cr + T * bg_ref[0],
@@ -369,7 +375,8 @@ def _fwd_kernel(
             Cb + T * bg_ref[2],
             T,
             nc,
-            jnp.zeros((3, TILE_PIXELS), jnp.float32),
+            D,
+            jnp.zeros((2, TILE_PIXELS), jnp.float32),
         ],
         axis=0,
     )

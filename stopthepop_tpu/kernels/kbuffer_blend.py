@@ -109,10 +109,11 @@ def _chunk_alpha_depth(data, pixf_x, pixf_y, vd, count_rem):
 def _pop_blend(win, state, popm):
     """Pop the front window entry and blend it where ``popm``.
 
-    win: dict of [K, 256] arrays; state: (fill, T, Cr, Cg, Cb, nc, done)
-    of [1, 256]. Mirrors naive.py::_kbuffer_pop exactly.
+    win: dict of [K, 256] arrays; state: (fill, T, Cr, Cg, Cb, nc, done, D)
+    of [1, 256]. Mirrors naive.py::_kbuffer_pop exactly (D additionally
+    accumulates w * ray_depth for the Depth debug visualization).
     """
-    fill, T, Cr, Cg, Cb, nc, done = state
+    fill, T, Cr, Cg, Cb, nc, done, D = state
     a0 = win["a"][0:1]
     U = T * (1.0 - a0)
     # done is a float 0/1 latch (Mosaic cannot loop-carry i1 vectors).
@@ -122,6 +123,7 @@ def _pop_blend(win, state, popm):
     Cr = Cr + w * win["r"][0:1]
     Cg = Cg + w * win["g"][0:1]
     Cb = Cb + w * win["b"][0:1]
+    D = D + w * win["d"][0:1]
     T = jnp.where(commit, U, T)
     nc = nc + commit.astype(jnp.float32)
 
@@ -131,7 +133,7 @@ def _pop_blend(win, state, popm):
 
     win = {k: shift(v, jnp.inf if k == "d" else 0.0) for k, v in win.items()}
     fill = fill - popm.astype(jnp.int32)
-    return win, (fill, T, Cr, Cg, Cb, nc, done), commit, w
+    return win, (fill, T, Cr, Cg, Cb, nc, done, D), commit, w
 
 
 def _insert(win, fill, v, new):
@@ -231,6 +233,7 @@ def _fwd_kernel(
         zeros, zeros, zeros,                     # C r/g/b
         zeros,                                   # n_contrib
         zeros,                                   # done latch (float 0/1)
+        zeros,                                   # depth accumulator
     )
     win, state = jax.lax.fori_loop(0, rounds, body, (win0, state0))
 
@@ -241,7 +244,7 @@ def _fwd_kernel(
         return win, state
 
     win, state = jax.lax.fori_loop(0, k, drain, (win, state))
-    fill, T, Cr, Cg, Cb, nc, done = state
+    fill, T, Cr, Cg, Cb, nc, done, D = state
     out_ref[0] = jnp.concatenate(
         [
             Cr + T * bg_ref[0],
@@ -249,7 +252,8 @@ def _fwd_kernel(
             Cb + T * bg_ref[2],
             T,
             nc,
-            jnp.zeros((3, TILE_PIXELS), jnp.float32),
+            D,
+            jnp.zeros((2, TILE_PIXELS), jnp.float32),
         ],
         axis=0,
     )

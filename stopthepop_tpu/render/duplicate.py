@@ -88,7 +88,7 @@ def count_pairs(prep: PreprocessOutput) -> jnp.ndarray:
     return jnp.sum(prep.tiles_touched)
 
 
-def build_pairs(
+def expand_pairs(
     prep: PreprocessOutput,
     *,
     capacity: int,
@@ -100,9 +100,11 @@ def build_pairs(
     inverse_vp=None,
     image_width: int = 0,
     image_height: int = 0,
-) -> PairBuffer:
-    """Expand, optionally tile-cull, key and sort all Gaussian/tile pairs."""
-    num_tiles = grid_x * grid_y
+):
+    """The "Duplicate" stage: expand + key + optionally tile-cull all pairs.
+
+    Returns (tile_id, depth_key, gauss_id, num_rendered, overflow), unsorted.
+    """
     offsets = jnp.cumsum(prep.tiles_touched).astype(jnp.int32)  # inclusive [P]
     num_rendered = offsets[-1] if prep.tiles_touched.size else jnp.int32(0)
     P = prep.tiles_touched.shape[0]
@@ -180,13 +182,21 @@ def build_pairs(
 
     tile_id = jnp.where(valid, tile_id, INVALID_TILE_ID).astype(jnp.int32)
     depth_key = jnp.where(valid, depth, jnp.inf).astype(jnp.float32)
+    return (
+        tile_id, depth_key, g,
+        num_rendered.astype(jnp.int32), num_rendered > capacity,
+    )
 
+
+def sort_expanded(tile_id, depth_key, g, num_rendered, overflow,
+                  num_tiles: int) -> PairBuffer:
+    """The "Sort" stage: global (tile, depth) sort + tile-range build."""
     s_tile, s_depth, s_gid = sort_pairs(tile_id, depth_key, g)
 
     # Per-tile counts by scatter-add (invalid ids fall outside and drop);
     # sorted-by-tile order makes starts an exclusive cumsum.
     counts_t = jnp.zeros((num_tiles,), jnp.int32).at[tile_id].add(
-        valid.astype(jnp.int32), mode="drop"
+        (tile_id != INVALID_TILE_ID).astype(jnp.int32), mode="drop"
     )
     incl = jnp.cumsum(counts_t)
     starts = (incl - counts_t).astype(jnp.int32)
@@ -197,9 +207,32 @@ def build_pairs(
         valid=s_tile != INVALID_TILE_ID,
         starts=starts,
         ends=incl.astype(jnp.int32),
-        num_rendered=num_rendered.astype(jnp.int32),
-        overflow=num_rendered > capacity,
+        num_rendered=num_rendered,
+        overflow=overflow,
     )
+
+
+def build_pairs(
+    prep: PreprocessOutput,
+    *,
+    capacity: int,
+    grid_x: int,
+    grid_y: int,
+    sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
+    tile_based_culling: bool = False,
+    campos=None,
+    inverse_vp=None,
+    image_width: int = 0,
+    image_height: int = 0,
+) -> PairBuffer:
+    """Expand, optionally tile-cull, key and sort all Gaussian/tile pairs."""
+    expanded = expand_pairs(
+        prep, capacity=capacity, grid_x=grid_x, grid_y=grid_y,
+        sort_order=sort_order, tile_based_culling=tile_based_culling,
+        campos=campos, inverse_vp=inverse_vp,
+        image_width=image_width, image_height=image_height,
+    )
+    return sort_expanded(*expanded, num_tiles=grid_x * grid_y)
 
 
 def align_segments(

@@ -199,7 +199,8 @@ def render_full_sort_naive(
 
     O(P * pixels * log P) memory-heavy ground truth (mirror of the reference's
     fwd-only renderSortedFullCUDA, resorted_render.cuh:474-675). Use small
-    scenes only. Returns (color [3, H, W], final_T, n_contrib).
+    scenes only. Returns (color [3, H, W], final_T, n_contrib,
+    depth_acc [H, W]).
     """
     N = width * height
     pix = _pixel_grid(width, height)
@@ -230,15 +231,23 @@ def render_full_sort_naive(
     depth_key = jnp.where(alpha_eff > 0.0, depth, jnp.inf)
     order = jnp.argsort(depth_key, axis=0)  # [P, N]
     alpha_sorted = jnp.take_along_axis(alpha_eff, order, axis=0)
+    depth_sorted = jnp.take_along_axis(depth, order, axis=0)
     rgb_sorted = prep.rgb[order]  # [P, N, 3]
 
+    # 4th channel accumulates w * ray_depth (the Depth debug viz).
+    rgbd = jnp.concatenate(
+        [rgb_sorted, jax.lax.stop_gradient(depth_sorted)[..., None]], axis=-1
+    )
     T0 = jnp.ones((N,), jnp.float32)
-    C0 = jnp.zeros((N, 3), jnp.float32)
+    C0 = jnp.zeros((N, 4), jnp.float32)
     idx0 = jnp.zeros((N,), jnp.int32)
     T, C, idx = blend_prefix(
-        alpha_sorted, rgb_sorted, T0, C0, idx0, jnp.int32(1)
+        alpha_sorted, rgbd, T0, C0, idx0, jnp.int32(1)
     )
-    return _finalize(C, T, bg, width, height), T, idx
+    return (
+        _finalize(C[:, :3], T, bg, width, height), T, idx,
+        C[:, 3].reshape(height, width),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+import jax
+
 from ..config import GlobalSortOrder
 from ..constants import TILE_X, TILE_Y
 from ..kernels.blend_vjp import make_blend_global, make_blend_kbuffer
@@ -53,11 +55,16 @@ def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int):
     """
     ids = segs.gauss_id
     table = jnp.concatenate(
-        [prep.mean2d, prep.conic_opacity, prep.rgb], axis=1
-    )  # [P, 9] — one wide gather beats nine narrow ones on TPU
-    feats = table[ids].T  # [9, C_aligned]
+        [
+            prep.mean2d, prep.conic_opacity, prep.rgb,
+            jax.lax.stop_gradient(prep.depth)[:, None],
+        ],
+        axis=1,
+    )  # [P, 10] — one wide gather beats ten narrow ones on TPU
+    feats = table[ids].T  # [10, C_aligned]
     feats = jnp.concatenate(
-        [feats, jnp.zeros((PAYLOAD_F - 9, ids.shape[0]), jnp.float32)], axis=0
+        [feats, jnp.zeros((PAYLOAD_F - 10, ids.shape[0]), jnp.float32)],
+        axis=0,
     )
     return jnp.pad(feats, ((0, 0), (0, chunk)))
 
@@ -98,10 +105,10 @@ def render_tiled(
     payload = build_payload(prep, segs, chunk)
     blend = make_blend_global(grid_x, grid_y, chunk, interpret)
     packed = blend(payload, segs.starts, segs.counts, bg)
-    color, final_t, n_contrib = unpack_image(
+    color, final_t, n_contrib, depth_acc = unpack_image(
         packed, grid_x, grid_y, image_width, image_height
     )
-    return color, final_t, n_contrib, pairs
+    return color, final_t, n_contrib, pairs, depth_acc
 
 
 def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
@@ -167,10 +174,10 @@ def render_tiled_kbuffer(
         interpret,
     )
     packed = blend(payload, segs.starts, segs.counts, bg, cam)
-    color, final_t, n_contrib = unpack_image(
+    color, final_t, n_contrib, depth_acc = unpack_image(
         packed, grid_x, grid_y, image_width, image_height
     )
-    return color, final_t, n_contrib, pairs
+    return color, final_t, n_contrib, pairs, depth_acc
 
 
 def render_tiled_hier(
@@ -219,7 +226,69 @@ def render_tiled_hier(
         hier_4x4_culling, chunk, seg_cap, interpret,
     )
     packed = blend(payload, segs.starts, segs.counts, bg, cam)
-    color, final_t, n_contrib = unpack_image(
+    color, final_t, n_contrib, depth_acc = unpack_image(
         packed, grid_x, grid_y, image_width, image_height
     )
-    return color, final_t, n_contrib, pairs
+    return color, final_t, n_contrib, pairs, depth_acc
+
+
+def render_tiled_timed(
+    prep_fn,
+    timer,
+    bg: jnp.ndarray,
+    *,
+    image_width: int,
+    image_height: int,
+    capacity: int,
+    sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
+    tile_based_culling: bool = False,
+    campos=None,
+    inverse_vp=None,
+    chunk: int = 256,
+    interpret: bool = False,
+):
+    """GLOBAL render with per-stage timing (reference Timer stage names
+    Preprocess/Duplicate/Sort/Render, rasterizer_impl.cu:248). Each stage is
+    dispatched and blocked separately via ``timer.time`` —
+    utils/profiling.StageTimer — at the cost of fusion across stages; use the
+    untimed path (one jit) for production and ``utils.profiling.trace`` for
+    in-jit kernel breakdowns.
+
+    ``prep_fn`` is a zero-arg callable producing the PreprocessOutput.
+    """
+    from .duplicate import expand_pairs, sort_expanded
+
+    grid_x, grid_y = tile_grid(image_width, image_height)
+    num_tiles = grid_x * grid_y
+    prep = timer.time("Preprocess", prep_fn)
+    expanded = timer.time(
+        "Duplicate",
+        jax.jit(
+            lambda p: expand_pairs(
+                p, capacity=capacity, grid_x=grid_x, grid_y=grid_y,
+                sort_order=sort_order, tile_based_culling=tile_based_culling,
+                campos=campos, inverse_vp=inverse_vp,
+                image_width=image_width, image_height=image_height,
+            )
+        ),
+        prep,
+    )
+    pairs = timer.time(
+        "Sort",
+        jax.jit(lambda e: sort_expanded(*e, num_tiles=num_tiles)),
+        expanded,
+    )
+
+    def render(prep, pairs, bg):
+        capacity_aligned = capacity + num_tiles * chunk
+        segs = align_segments(pairs, num_tiles, capacity_aligned, chunk)
+        payload = build_payload(prep, segs, chunk)
+        blend = make_blend_global(grid_x, grid_y, chunk, interpret)
+        packed = blend(payload, segs.starts, segs.counts, bg)
+        return unpack_image(packed, grid_x, grid_y, image_width, image_height)
+
+    color, final_t, n_contrib, depth_acc = timer.time(
+        "Render", jax.jit(render), prep, pairs, bg
+    )
+    timer.frame()
+    return color, final_t, n_contrib, pairs, depth_acc

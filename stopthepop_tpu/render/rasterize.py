@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import (
+    DebugVisualization,
     GaussianRasterizationSettings,
     GlobalSortOrder,
     SortMode,
@@ -41,6 +42,7 @@ class RenderOutput(NamedTuple):
     final_t: jnp.ndarray    # [H, W]
     n_contrib: jnp.ndarray  # [H, W] int32
     overflow: jnp.ndarray   # [] bool — pair buffer overflow indicator
+    depth_acc: jnp.ndarray = None  # [H, W] sum(w * depth) accumulator
 
 
 def default_pair_capacity(num_gaussians: int) -> int:
@@ -62,8 +64,15 @@ def rasterize_gaussians(
     chunk: int = 256,
     interpret: bool = False,
     full_output: bool = False,
+    debug_visualization: DebugVisualization = DebugVisualization.Disabled,
+    debug_data=None,
 ):
-    """Render. Returns (color, radii) like the reference, or RenderOutput."""
+    """Render. Returns (color, radii) like the reference, or RenderOutput.
+
+    ``render_depth=True`` in the settings maps to the Depth debug
+    visualization exactly like the reference (rasterize_points.cu:104-107):
+    the returned image is the colormapped visualization.
+    """
     rs = raster_settings
     ext = rs.settings
     sort_mode = SortMode(ext.sort_settings.sort_mode)
@@ -113,16 +122,19 @@ def rasterize_gaussians(
         mean2d = prep.mean2d + m2d - jax.lax.stop_gradient(m2d)
         prep = prep._replace(mean2d=mean2d)
 
+    pairs = None
     if sort_mode == SortMode.PPX_FULL:
         # Exact per-pixel full sort — the quality oracle. The reference's
         # version is forward-only (backward.cu:733-736); ours differentiates
         # but is O(P x pixels) memory, so keep scenes small.
-        color, final_t, n_contrib = render_full_sort_naive(
+        color, final_t, n_contrib, depth_acc = render_full_sort_naive(
             prep, rs.bg, W, H, rs.campos, rs.inv_viewprojmatrix
         )
+        final_t = final_t.reshape(H, W)
+        n_contrib = n_contrib.reshape(H, W)
         overflow = jnp.array(False)
     elif sort_mode == SortMode.GLOBAL:
-        color, final_t, n_contrib, pairs = render_tiled(
+        color, final_t, n_contrib, pairs, depth_acc = render_tiled(
             prep,
             rs.bg,
             image_width=W,
@@ -137,7 +149,7 @@ def rasterize_gaussians(
         )
         overflow = pairs.overflow
     elif sort_mode == SortMode.PPX_KBUFFER:
-        color, final_t, n_contrib, pairs = render_tiled_kbuffer(
+        color, final_t, n_contrib, pairs, depth_acc = render_tiled_kbuffer(
             prep,
             rs.bg,
             image_width=W,
@@ -153,7 +165,7 @@ def rasterize_gaussians(
         overflow = pairs.overflow
     elif sort_mode == SortMode.HIER:
         qs = ext.sort_settings.queue_sizes
-        color, final_t, n_contrib, pairs = render_tiled_hier(
+        color, final_t, n_contrib, pairs, depth_acc = render_tiled_hier(
             prep,
             rs.bg,
             image_width=W,
@@ -173,8 +185,31 @@ def rasterize_gaussians(
             f"sort_mode {sort_mode} not yet implemented in the TPU pipeline"
         )
 
+    viz_mode = DebugVisualization(debug_visualization)
+    if rs.render_depth and viz_mode == DebugVisualization.Disabled:
+        viz_mode = DebugVisualization.Depth
+    if viz_mode != DebugVisualization.Disabled:
+        from .debug_viz import apply_debug_visualization
+
+        color = apply_debug_visualization(
+            viz_mode,
+            final_t=final_t,
+            n_contrib=n_contrib,
+            depth_acc=depth_acc,
+            pair_counts=(pairs.ends - pairs.starts) if pairs is not None
+            else None,
+            prep=prep,
+            campos=rs.campos,
+            inverse_vp=rs.inv_viewprojmatrix,
+            width=W,
+            height=H,
+            data=debug_data,
+        )
+
     if full_output:
-        return RenderOutput(color, prep.radii, final_t, n_contrib, overflow)
+        return RenderOutput(
+            color, prep.radii, final_t, n_contrib, overflow, depth_acc
+        )
     return color, prep.radii
 
 

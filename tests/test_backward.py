@@ -30,7 +30,7 @@ def _make_losses(cam, scene, w, h, cap, use_sh=False):
         return jnp.sum(img * weights) + 0.1 * jnp.sum(final_t)
 
     def loss_tiled(means, scales, rots, opac, col):
-        img, final_t, _, _ = render_tiled(
+        img, final_t, _, _, _ = render_tiled(
             prep_of(means, scales, rots, opac, col), bg,
             image_width=w, image_height=h, capacity=cap, interpret=True,
         )
@@ -83,7 +83,7 @@ def test_bg_gradient():
     cap = int(count_pairs(prep)) + 64
 
     def loss_t(bg):
-        img, _, _, _ = render_tiled(
+        img, _, _, _, _ = render_tiled(
             prep, bg, image_width=w, image_height=h, capacity=cap, interpret=True
         )
         return jnp.sum(img**2)
@@ -130,7 +130,7 @@ def test_kbuffer_grads_match_oracle():
         return jnp.sum(img * weights) + 0.1 * jnp.sum(final_t)
 
     def loss_tiled(means, scales, rots, opac, col):
-        img, final_t, _, _ = render_tiled_kbuffer(
+        img, final_t, _, _, _ = render_tiled_kbuffer(
             prep_of(means, scales, rots, opac, col), bg,
             image_width=w, image_height=h, capacity=cap,
             campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix, k=k,

@@ -40,7 +40,7 @@ def test_hier_oracle_big_windows_equal_full_sort():
     scene = random_scene(jax.random.PRNGKey(6), 60)
     prep = _prep(scene, cam)
     bg = jnp.array([0.2, 0.1, 0.4])
-    img_f, T_f, _ = render_full_sort_naive(
+    img_f, T_f, _, _ = render_full_sort_naive(
         prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix
     )
     img_h, T_h, _ = render_hierarchical_naive(
@@ -62,7 +62,7 @@ def test_hier_kernel_matches_oracle(queues):
         prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix, queue_sizes=queues
     )
     cap = int(count_pairs(prep)) + 64
-    img_t, T_t, n_t, pairs = render_tiled_hier(
+    img_t, T_t, n_t, pairs, _ = render_tiled_hier(
         prep, bg, image_width=w, image_height=h, capacity=cap,
         campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
         queue_sizes=queues, interpret=True,
@@ -85,7 +85,7 @@ def test_hier_kernel_4x4_culling_matches_oracle():
         prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
         queue_sizes=(16, 8, 4), hier_4x4_culling=True, tile_based_culling=True,
     )
-    img_t, T_t, _, _ = render_tiled_hier(
+    img_t, T_t, _, _, _ = render_tiled_hier(
         prep, bg, image_width=w, image_height=h, capacity=cap,
         campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
         queue_sizes=(16, 8, 4), hier_4x4_culling=True,
@@ -104,7 +104,7 @@ def test_hier_quality_beats_global_vs_full():
     bg = jnp.zeros(3)
     from stopthepop_tpu.render.naive import render_global_naive
 
-    img_full, _, _ = render_full_sort_naive(
+    img_full, _, _, _ = render_full_sort_naive(
         prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix
     )
     img_glob, _, _ = render_global_naive(prep, bg, w, h)
@@ -146,7 +146,7 @@ def test_hier_grads_match_oracle():
         return jnp.sum(img * weights) + 0.1 * jnp.sum(final_t)
 
     def loss_tiled(means, scales, rots, opac, col):
-        img, final_t, _, _ = render_tiled_hier(
+        img, final_t, _, _, _ = render_tiled_hier(
             prep_of(means, scales, rots, opac, col), bg,
             image_width=w, image_height=h, capacity=cap,
             campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,

@@ -46,7 +46,7 @@ def test_kbuffer_kernel_matches_oracle(k):
         prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix, k=k
     )
     cap = int(count_pairs(prep)) + 64
-    img_t, T_t, n_t, pairs = render_tiled_kbuffer(
+    img_t, T_t, n_t, pairs, _ = render_tiled_kbuffer(
         prep, bg, image_width=w, image_height=h, capacity=cap,
         campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix, k=k,
         interpret=True,
@@ -71,7 +71,7 @@ def test_kbuffer_large_k_approaches_full_sort():
     scene = random_scene(jax.random.PRNGKey(6), 60)
     prep = _prep(scene, cam)
     bg = jnp.zeros(3)
-    img_full, T_full, _ = render_full_sort_naive(
+    img_full, T_full, _, _ = render_full_sort_naive(
         prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix
     )
     img_kb, T_kb, _ = render_kbuffer_naive(
@@ -97,7 +97,7 @@ def test_kbuffer_sort_orders_and_culling_run():
             prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix, k=4,
             sort_order=order, tile_based_culling=True,
         )
-        img_t, T_t, _, _ = render_tiled_kbuffer(
+        img_t, T_t, _, _, _ = render_tiled_kbuffer(
             prep, bg, image_width=w, image_height=h, capacity=cap,
             campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix, k=4,
             sort_order=order, tile_based_culling=True, interpret=True,

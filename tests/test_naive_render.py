@@ -112,7 +112,7 @@ def test_full_sort_close_to_global_for_well_separated_scene():
     scene = random_scene(jax.random.PRNGKey(5), 60, scale_range=(0.01, 0.03))
     prep = _prep(scene, cam)
     img_g, _, _ = render_global_naive(prep, jnp.zeros(3), 32, 32)
-    img_f, _, _ = render_full_sort_naive(
+    img_f, _, _, _ = render_full_sort_naive(
         prep, jnp.zeros(3), 32, 32, cam.campos, cam.inv_viewprojmatrix
     )
     assert np.abs(np.asarray(img_g) - np.asarray(img_f)).mean() < 0.02

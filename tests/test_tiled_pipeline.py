@@ -95,7 +95,7 @@ def test_tiled_matches_oracle(size):
     bg = jnp.array([0.2, 0.3, 0.1])
     img_o, T_o, n_o = render_global_naive(prep, bg, w, h)
     cap = int(count_pairs(prep)) + 64
-    img_t, T_t, n_t, pairs = render_tiled(
+    img_t, T_t, n_t, pairs, _ = render_tiled(
         prep, bg, image_width=w, image_height=h, capacity=cap, interpret=True
     )
     assert not bool(pairs.overflow)
@@ -115,10 +115,10 @@ def test_tiled_tile_based_culling_close_to_uncull():
     prep = _prep(scene, cam)
     bg = jnp.zeros(3)
     cap = int(count_pairs(prep)) + 64
-    img_a, _, _, _ = render_tiled(
+    img_a, _, _, _, _ = render_tiled(
         prep, bg, image_width=64, image_height=64, capacity=cap, interpret=True
     )
-    img_b, _, _, pairs_b = render_tiled(
+    img_b, _, _, pairs_b, _ = render_tiled(
         prep, bg, image_width=64, image_height=64, capacity=cap,
         tile_based_culling=True, interpret=True,
     )
@@ -136,7 +136,7 @@ def test_tiled_per_tile_depth_orders_run():
     bg = jnp.zeros(3)
     cap = int(count_pairs(prep)) + 64
     for order in (GlobalSortOrder.PTD_CENTER, GlobalSortOrder.PTD_MAX):
-        img, T, n, pairs = render_tiled(
+        img, T, n, pairs, _ = render_tiled(
             prep, bg, image_width=64, image_height=64, capacity=cap,
             sort_order=order, campos=cam.campos,
             inverse_vp=cam.inv_viewprojmatrix, interpret=True,
