@@ -59,6 +59,49 @@ def rasterize_gaussians(
     rotations,
     cov3Ds_precomp,
     raster_settings: GaussianRasterizationSettings,
+    **kw,
+):
+    """Render; with ``debug=True`` in the settings, failures dump the exact
+    inputs to snapshot_fw.npz for offline replay (the reference's debug
+    contract, __init__.py:96-103)."""
+    if raster_settings.debug:
+        from ..utils.snapshot import snapshot_on_failure
+
+        with snapshot_on_failure(
+            "fw",
+            {
+                "means3D": means3D, "means2D": means2D, "sh": sh,
+                "colors_precomp": colors_precomp, "opacities": opacities,
+                "scales": scales, "rotations": rotations,
+                "cov3Ds_precomp": cov3Ds_precomp,
+                "bg": raster_settings.bg,
+                "viewmatrix": raster_settings.viewmatrix,
+                "projmatrix": raster_settings.projmatrix,
+                "inv_viewprojmatrix": raster_settings.inv_viewprojmatrix,
+                "campos": raster_settings.campos,
+            },
+            meta=raster_settings.settings.to_dict(),
+        ):
+            return _rasterize_impl(
+                means3D, means2D, sh, colors_precomp, opacities, scales,
+                rotations, cov3Ds_precomp, raster_settings, **kw,
+            )
+    return _rasterize_impl(
+        means3D, means2D, sh, colors_precomp, opacities, scales, rotations,
+        cov3Ds_precomp, raster_settings, **kw,
+    )
+
+
+def _rasterize_impl(
+    means3D,
+    means2D,
+    sh,
+    colors_precomp,
+    opacities,
+    scales,
+    rotations,
+    cov3Ds_precomp,
+    raster_settings: GaussianRasterizationSettings,
     *,
     pair_capacity: Optional[int] = None,
     chunk: int = 256,

@@ -1,0 +1,63 @@
+"""Failure snapshots: dump the exact inputs of a failing step for replay.
+
+Mirror of the reference's debug path (diff_gaussian_rasterization/
+__init__.py:96-103, 149-156): when ``debug=True`` and the forward/backward
+raises, every tensor argument is deep-copied to CPU and pickled as
+``snapshot_fw.dump`` for offline reproduction. Here the same contract:
+arrays go into ``snapshot_<tag>.npz`` (+ a JSON sidecar for settings), then
+the exception re-raises.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def dump_snapshot(tag: str, arrays: Dict[str, Any],
+                  meta: Optional[dict] = None, directory: str = "."):
+    """Write snapshot_<tag>.npz (+ .json) and return the npz path."""
+    path = os.path.join(directory, f"snapshot_{tag}.npz")
+    out = {}
+    for k, v in arrays.items():
+        if v is None:
+            continue
+        try:
+            out[k] = np.asarray(v)
+        except Exception:
+            pass
+    np.savez(path, **out)
+    if meta is not None:
+        with open(path.replace(".npz", ".json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+    return path
+
+
+def load_snapshot(path: str) -> Dict[str, np.ndarray]:
+    return dict(np.load(path))
+
+
+@contextlib.contextmanager
+def snapshot_on_failure(tag: str, arrays: Dict[str, Any],
+                        meta: Optional[dict] = None, directory: str = "."):
+    """Dump ``arrays`` if the body raises, print the path, re-raise.
+
+    Same contract as the reference's try/except around _C.rasterize_gaussians:
+    "An error occurred in forward. Please forward snapshot_fw.dump for
+    debugging."
+    """
+    try:
+        yield
+    except Exception:
+        try:
+            path = dump_snapshot(tag, arrays, meta, directory)
+            print(
+                f"\nAn error occurred in {tag}. Wrote {path} for debugging."
+            )
+        except Exception:
+            pass
+        raise

@@ -74,3 +74,19 @@ def test_training_decreases_loss():
     assert int(stats.denom.max()) == 25
     assert float(stats.grad2d_accum.max()) > 0.0
     assert int(stats.max_radii.max()) > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+
+    from stopthepop_tpu.models.gaussians import init_random
+    from stopthepop_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from stopthepop_tpu.train.trainer import init_train_state, make_optimizer
+
+    model = init_random(jax.random.PRNGKey(0), 32)
+    opt = make_optimizer(1e-3)
+    state = init_train_state(model, opt)
+    path = save_checkpoint(str(tmp_path), state, step=7)
+    restored = load_checkpoint(path, state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
