@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import GlobalSortOrder
@@ -58,18 +59,20 @@ def rank_expand(offsets_inclusive: jnp.ndarray, capacity: int) -> jnp.ndarray:
 
 
 class AlignedSegments(NamedTuple):
-    """Per-tile pair segments re-laid-out at ``align``-pair boundaries.
+    """Per-tile pair segments laid out at ``align``-pair boundaries.
 
     The Pallas blend kernels DMA payload chunks along the (128-wide) lane
-    axis, so every tile's segment must start at a 128-aligned offset. This is
-    a pure gather re-indexing of the sorted pair list (no scatter): slot s of
-    tile t maps back to sorted pair ``starts[t] + (s - aligned_start[t])``.
+    axis, so every tile's segment must start at a 128-aligned offset.
+    ``orig_slot``/``gauss_offsets`` (present on the fused
+    build_pairs_aligned path) enable the gather-only payload VJP.
     """
 
     gauss_id: jnp.ndarray   # [C_aligned] int32 (clamped where invalid)
     valid: jnp.ndarray      # [C_aligned] bool
     starts: jnp.ndarray     # [num_tiles] int32, each a multiple of align
     counts: jnp.ndarray     # [num_tiles] int32 exact (unaligned) counts
+    orig_slot: jnp.ndarray = None      # [C_aligned] int32 pre-sort slot
+    gauss_offsets: jnp.ndarray = None  # [P] int32 inclusive pair offsets
 
 
 class PairBuffer(NamedTuple):
@@ -112,7 +115,9 @@ def expand_pairs(
     i = jnp.arange(capacity, dtype=jnp.int32)
     g = jnp.clip(rank_expand(offsets, capacity), 0, P - 1)
 
-    # One packed int gather per pair instead of several narrow ones.
+    # TPU row-gathers run at a fixed rows/second rate regardless of row
+    # width, so ALL per-Gaussian values (ints bitcast to f32) ride in ONE
+    # wide gather instead of one per table.
     int_tab = jnp.stack(
         [
             jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-1]]),
@@ -123,14 +128,6 @@ def expand_pairs(
         ],
         axis=1,
     )  # [P, 5]
-    ig = int_tab[g]
-    base, rmin_x, rmin_y, width, gvalid = (ig[:, k] for k in range(5))
-    local = i - base
-    ty = rmin_y + local // width
-    tx = rmin_x + local % width
-    tile_id = ty * grid_x + tx
-
-    valid = (i < num_rendered) & (gvalid > 0)
 
     need_power = tile_based_culling or sort_order == GlobalSortOrder.PTD_MAX
     need_ptd = sort_order in (GlobalSortOrder.PTD_CENTER, GlobalSortOrder.PTD_MAX)
@@ -149,7 +146,19 @@ def expand_pairs(
     if need_ptd:
         f_cols += [prep.cov3d_inv9[:, k] for k in range(9)]
     f_tab = jnp.stack(f_cols, axis=1)  # [P, F]
-    fg = f_tab[g]
+    tab = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(int_tab, jnp.float32), f_tab], axis=1
+    )
+    tg = tab[g]  # the one big gather
+    ig = jax.lax.bitcast_convert_type(tg[:, :5], jnp.int32)
+    fg = tg[:, 5:]
+    base, rmin_x, rmin_y, width, gvalid = (ig[:, k] for k in range(5))
+    local = i - base
+    ty = rmin_y + local // width
+    tx = rmin_x + local % width
+    tile_id = ty * grid_x + tx
+
+    valid = (i < num_rendered) & (gvalid > 0)
     depth = fg[:, 0]
 
     if need_power:
@@ -233,6 +242,143 @@ def build_pairs(
         image_width=image_width, image_height=image_height,
     )
     return sort_expanded(*expanded, num_tiles=grid_x * grid_y)
+
+
+def build_pairs_aligned(
+    prep: PreprocessOutput,
+    *,
+    capacity: int,
+    grid_x: int,
+    grid_y: int,
+    align: int,
+    sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
+    tile_based_culling: bool = False,
+    campos=None,
+    inverse_vp=None,
+    image_width: int = 0,
+    image_height: int = 0,
+):
+    """Fused pair build producing the align-padded layout in ONE sort.
+
+    Instead of re-gathering the sorted list into aligned segments (two
+    multi-million-row gathers — the slow primitive on TPU), per-tile padding
+    entries (depth +inf, so they sort to each tile segment's end) join the
+    sort itself: the sorted array IS the aligned layout. Total length is
+    ``capacity + num_tiles * align``; per-tile pad counts come from the
+    pre-sort per-tile histogram.
+
+    Returns (PairBuffer over the padded array, AlignedSegments).
+    """
+    num_tiles = grid_x * grid_y
+    tile_id, depth_key, g, num_rendered, overflow = expand_pairs(
+        prep, capacity=capacity, grid_x=grid_x, grid_y=grid_y,
+        sort_order=sort_order, tile_based_culling=tile_based_culling,
+        campos=campos, inverse_vp=inverse_vp,
+        image_width=image_width, image_height=image_height,
+    )
+    valid = tile_id != INVALID_TILE_ID
+    counts = jnp.zeros((num_tiles,), jnp.int32).at[tile_id].add(
+        valid.astype(jnp.int32), mode="drop"
+    )
+    pad_needed = (-counts) % align  # [T]
+
+    # Padding block [T, align]: row t contributes pad_needed[t] entries of
+    # (tile t, depth +inf); the rest are INVALID sentinels. Pure broadcasting
+    # - no gather.
+    col = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, align), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, align), 0)
+    keep = col < pad_needed[:, None]
+    pad_tile = jnp.where(keep, row, INVALID_TILE_ID).reshape(-1)
+    pad_depth = jnp.full((num_tiles * align,), jnp.inf, jnp.float32)
+    pad_gid = jnp.zeros((num_tiles * align,), jnp.int32)
+
+    # The pre-sort slot index rides through the sort so the payload VJP can
+    # invert the permutation with a second (cheap) integer sort instead of a
+    # scatter — TPU scatters run ~10x slower than gathers.
+    total = capacity + num_tiles * align
+    s_tile, s_depth, s_gid, s_slot = jax.lax.sort(
+        (
+            jnp.concatenate([tile_id, pad_tile]),
+            jnp.concatenate([depth_key, pad_depth]),
+            jnp.concatenate([g, pad_gid]),
+            jnp.arange(total, dtype=jnp.int32),
+        ),
+        num_keys=2,
+    )
+
+    aligned = counts + pad_needed
+    seg_incl = jnp.cumsum(aligned)
+    seg_starts = (seg_incl - aligned).astype(jnp.int32)
+    pairs = PairBuffer(
+        tile_id=s_tile,
+        depth=s_depth,
+        gauss_id=s_gid,
+        valid=(s_tile != INVALID_TILE_ID) & jnp.isfinite(s_depth),
+        starts=seg_starts,
+        ends=(seg_starts + counts).astype(jnp.int32),
+        num_rendered=num_rendered,
+        overflow=overflow,
+    )
+    segs = AlignedSegments(
+        gauss_id=s_gid,
+        valid=pairs.valid,
+        starts=seg_starts,
+        counts=counts,
+        orig_slot=s_slot,
+        gauss_offsets=jnp.cumsum(prep.tiles_touched).astype(jnp.int32),
+    )
+    return pairs, segs
+
+
+# ---------------------------------------------------------------------------
+# Gather-only payload gradient
+# ---------------------------------------------------------------------------
+#
+# The blend payload is table[gauss_id] over the sorted pair list; its natural
+# VJP is a scatter-add of millions of conflicting rows — and TPU scatters run
+# at ~1/10 the (already modest) row-gather rate. Instead: route the payload
+# cotangent back to *pre-sort* slot order (where each Gaussian's pairs are
+# contiguous) by inverting the sort permutation with one integer sort + one
+# gather, then reduce each Gaussian's contiguous range with a prefix sum and
+# two [P]-row gathers. This replaces the reference's atomicAdd accumulation
+# (backward.cu:561-592) with an entirely gather/scan-shaped — and still
+# deterministic — reduction.
+
+
+@jax.custom_vjp
+def segment_gather(table, gauss_id, orig_slot, gauss_offsets):
+    """table[gauss_id] with a sort-and-scan (gather-only) VJP."""
+    return table[gauss_id]
+
+
+def _segment_gather_fwd(table, gauss_id, orig_slot, gauss_offsets):
+    return table[gauss_id], (orig_slot, gauss_offsets)
+
+
+def _segment_gather_bwd(res, d_out):
+    import numpy as np
+
+    orig_slot, offsets = res
+    C, F = d_out.shape
+    _, inv = jax.lax.sort(
+        (orig_slot, jnp.arange(C, dtype=jnp.int32)), num_keys=1
+    )
+    d_un = d_out[inv]  # pre-sort slot order: Gaussian-contiguous
+    cs = jnp.cumsum(d_un, axis=0)
+    cs0 = jnp.concatenate([jnp.zeros((1, F), d_out.dtype), cs], axis=0)
+    offsets = jnp.minimum(offsets, C)  # overflowed pairs were dropped
+    prev = jnp.concatenate(
+        [jnp.zeros((1,), offsets.dtype), offsets[:-1]]
+    )
+    d_table = cs0[offsets] - cs0[prev]
+
+    def int0(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return d_table, int0(res[0]), int0(res[0]), int0(res[1])
+
+
+segment_gather.defvjp(_segment_gather_fwd, _segment_gather_bwd)
 
 
 def align_segments(

@@ -32,6 +32,8 @@ from .duplicate import (
     PairBuffer,
     align_segments,
     build_pairs,
+    build_pairs_aligned,
+    segment_gather,
 )
 from .preprocess import PreprocessOutput
 
@@ -42,6 +44,16 @@ SEGMENT_ALIGN = 256
 
 def tile_grid(width: int, height: int):
     return (width + TILE_X - 1) // TILE_X, (height + TILE_Y - 1) // TILE_Y
+
+
+def _payload_gather(table, segs: AlignedSegments):
+    """table[gauss_id], with the gather-only VJP when the fused pair build
+    supplied the sort permutation."""
+    if segs.orig_slot is not None:
+        return segment_gather(
+            table, segs.gauss_id, segs.orig_slot, segs.gauss_offsets
+        )
+    return table[segs.gauss_id]
 
 
 def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int):
@@ -61,7 +73,7 @@ def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int):
         ],
         axis=1,
     )  # [P, 10] — one wide gather beats ten narrow ones on TPU
-    feats = table[ids].T  # [10, C_aligned]
+    feats = _payload_gather(table, segs).T  # [10, C_aligned]
     feats = jnp.concatenate(
         [feats, jnp.zeros((PAYLOAD_F - 10, ids.shape[0]), jnp.float32)],
         axis=0,
@@ -85,12 +97,14 @@ def render_tiled(
 ):
     """GLOBAL-mode tiled render. Returns (color, final_T, n_contrib, pairs)."""
     grid_x, grid_y = tile_grid(image_width, image_height)
-    num_tiles = grid_x * grid_y
-    pairs = build_pairs(
+    # Segment alignment must equal the DMA chunk so the backward kernel's
+    # full-chunk writes stay within each tile's own segment.
+    pairs, segs = build_pairs_aligned(
         prep,
         capacity=capacity,
         grid_x=grid_x,
         grid_y=grid_y,
+        align=chunk,
         sort_order=sort_order,
         tile_based_culling=tile_based_culling,
         campos=campos,
@@ -98,10 +112,6 @@ def render_tiled(
         image_width=image_width,
         image_height=image_height,
     )
-    # Segment alignment must equal the DMA chunk so the backward kernel's
-    # full-chunk writes stay within each tile's own segment.
-    capacity_aligned = capacity + num_tiles * chunk
-    segs = align_segments(pairs, num_tiles, capacity_aligned, chunk)
     payload = build_payload(prep, segs, chunk)
     blend = make_blend_global(grid_x, grid_y, chunk, interpret)
     packed = blend(payload, segs.starts, segs.counts, bg)
@@ -126,7 +136,7 @@ def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
         ],
         axis=1,
     )  # [P, 19]
-    feats = table[segs.gauss_id].T  # [19, C_aligned]
+    feats = _payload_gather(table, segs).T  # [19, C_aligned]
     feats = jnp.pad(feats, ((0, KB_PAYLOAD_F - feats.shape[0]), (0, chunk)))
     return feats
 
@@ -151,11 +161,12 @@ def render_tiled_kbuffer(
     pairs)."""
     grid_x, grid_y = tile_grid(image_width, image_height)
     num_tiles = grid_x * grid_y
-    pairs = build_pairs(
+    pairs, segs = build_pairs_aligned(
         prep,
         capacity=capacity,
         grid_x=grid_x,
         grid_y=grid_y,
+        align=chunk,
         sort_order=sort_order,
         tile_based_culling=tile_based_culling,
         campos=campos,
@@ -163,8 +174,6 @@ def render_tiled_kbuffer(
         image_width=image_width,
         image_height=image_height,
     )
-    capacity_aligned = capacity + num_tiles * chunk
-    segs = align_segments(pairs, num_tiles, capacity_aligned, chunk)
     payload = build_payload_kbuffer(prep, segs, chunk)
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
@@ -203,11 +212,12 @@ def render_tiled_hier(
 
     grid_x, grid_y = tile_grid(image_width, image_height)
     num_tiles = grid_x * grid_y
-    pairs = build_pairs(
+    pairs, segs = build_pairs_aligned(
         prep,
         capacity=capacity,
         grid_x=grid_x,
         grid_y=grid_y,
+        align=chunk,
         sort_order=sort_order,
         tile_based_culling=tile_based_culling,
         campos=campos,
@@ -215,8 +225,6 @@ def render_tiled_hier(
         image_width=image_width,
         image_height=image_height,
     )
-    capacity_aligned = capacity + num_tiles * chunk
-    segs = align_segments(pairs, num_tiles, capacity_aligned, chunk)
     payload = build_payload_kbuffer(prep, segs, chunk)
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
