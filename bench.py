@@ -32,7 +32,7 @@ NOMINAL_BASELINE_MPIX_S = 60.0
 def main():
     width, height = 1920, 1080
     num_gaussians = 500_000
-    capacity = 3_000_000
+    capacity = 2_200_000
     iters = 10
     interpret = jax.default_backend() != "tpu"
 

@@ -104,7 +104,7 @@ def _rasterize_impl(
     raster_settings: GaussianRasterizationSettings,
     *,
     pair_capacity: Optional[int] = None,
-    chunk: int = 256,
+    chunk: int = 128,
     interpret: bool = False,
     full_output: bool = False,
     debug_visualization: DebugVisualization = DebugVisualization.Disabled,
