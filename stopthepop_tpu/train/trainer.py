@@ -77,6 +77,67 @@ def make_optimizer(lr: float = 1e-3):
     return optax.adam(lr, eps=1e-15)
 
 
+def position_lr_schedule(
+    lr_init: float = 1.6e-4,
+    lr_final: float = 1.6e-6,
+    lr_delay_mult: float = 0.01,
+    lr_delay_steps: int = 0,
+    max_steps: int = 30_000,
+    spatial_lr_scale: float = 1.0,
+):
+    """The upstream 3DGS exponential position-LR schedule (log-lerp)."""
+
+    def schedule(step):
+        t = jnp.clip(step / max_steps, 0.0, 1.0)
+        log_lerp = jnp.exp(
+            jnp.log(lr_init * spatial_lr_scale) * (1 - t)
+            + jnp.log(lr_final * spatial_lr_scale) * t
+        )
+        if lr_delay_steps > 0:
+            delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+                0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0)
+            )
+        else:
+            delay = 1.0
+        return delay * log_lerp
+
+    return schedule
+
+
+def make_3dgs_optimizer(
+    spatial_lr_scale: float = 1.0,
+    *,
+    position_lr_init: float = 1.6e-4,
+    position_lr_final: float = 1.6e-6,
+    position_lr_max_steps: int = 30_000,
+    feature_lr: float = 2.5e-3,
+    opacity_lr: float = 0.025,
+    scaling_lr: float = 5e-3,
+    rotation_lr: float = 1e-3,
+):
+    """Per-parameter-group Adam matching the upstream 3DGS trainer defaults
+    (means: exp-decayed LR scaled by scene extent; SH rest at feature_lr/20)."""
+    pos_sched = position_lr_schedule(
+        position_lr_init, position_lr_final,
+        max_steps=position_lr_max_steps, spatial_lr_scale=spatial_lr_scale,
+    )
+    adam = partial(optax.adam, eps=1e-15)
+    return optax.multi_transform(
+        {
+            "means": adam(pos_sched),
+            "scales": adam(scaling_lr),
+            "rot": adam(rotation_lr),
+            "opacity": adam(opacity_lr),
+            "dc": adam(feature_lr),
+            "rest": adam(feature_lr / 20.0),
+        },
+        GaussianModel(
+            means3d="means", scales_log="scales", rotations="rot",
+            opacity_logit="opacity", sh_dc="dc", sh_rest="rest",
+        ),
+    )
+
+
 def make_train_step(
     optimizer,
     *,

@@ -153,3 +153,39 @@ def test_kbuffer_grads_match_oracle():
             b, a, atol=3e-4 * scale, rtol=3e-3,
             err_msg=f"kbuffer gradient mismatch for {name}",
         )
+
+
+def test_grads_match_finite_differences():
+    # End-to-end directional-derivative check of the custom VJPs against
+    # central finite differences (SURVEY.md §4 test plan).
+    w = h = 32
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(21), 40)
+    bg = jnp.zeros(3)
+    weights = jax.random.normal(jax.random.PRNGKey(22), (3, h, w))
+
+    def loss(means):
+        prep = preprocess(
+            means, scene.opacities, scales=scene.scales,
+            rotations=scene.rotations, colors_precomp=scene.colors,
+            viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+            campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            image_width=w, image_height=h,
+        )
+        img, _, _, _, _ = render_tiled(
+            prep, bg, image_width=w, image_height=h, capacity=4096,
+            interpret=True,
+        )
+        return jnp.sum(img * weights)
+
+    g = jax.grad(loss)(scene.means3d)
+    v = jax.random.normal(jax.random.PRNGKey(23), scene.means3d.shape)
+    v = v / jnp.linalg.norm(v)
+    eps = 3e-4
+    fd = (loss(scene.means3d + eps * v) - loss(scene.means3d - eps * v)) / (
+        2 * eps
+    )
+    analytic = jnp.vdot(g, v)
+    # f32 + the (intentionally) non-differentiable alpha/transmittance
+    # cutoffs put a floor on FD agreement; 4% catches any real VJP bug.
+    np.testing.assert_allclose(float(analytic), float(fd), rtol=4e-2)

@@ -111,3 +111,78 @@ def test_reset_opacity_and_opt_slots():
     mu = st2[0].mu.means3d
     assert float(jnp.abs(mu[0]).max()) == 0.0
     assert float(jnp.abs(mu[1]).max()) > 0.0
+
+
+def test_adaptive_training_grows_and_improves():
+    """Full 3DGS loop: train + densify rounds improve PSNR and add points."""
+    import optax
+
+    from stopthepop_tpu.config import (
+        ExtendedSettings,
+        GaussianRasterizationSettings,
+    )
+    from stopthepop_tpu.train.density import reset_opt_slots
+    from stopthepop_tpu.train.loss import psnr
+    from stopthepop_tpu.train.trainer import (
+        CameraArrays,
+        init_densify_stats,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+        render_model,
+    )
+    from stopthepop_tpu.utils.testing import make_camera
+
+    size = 32
+    cam = make_camera(size, size)
+    static = GaussianRasterizationSettings(
+        image_height=size, image_width=size,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        bg=jnp.zeros(3), scale_modifier=1.0,
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+        inv_viewprojmatrix=cam.inv_viewprojmatrix,
+        sh_degree=0, campos=cam.campos, prefiltered=False,
+        settings=ExtendedSettings(),
+    )
+    cams = CameraArrays(
+        cam.viewmatrix, cam.projmatrix, cam.inv_viewprojmatrix, cam.campos
+    )
+    gt = init_random(jax.random.PRNGKey(0), 50, sh_degree=0)
+    target, _ = render_model(
+        gt, cams, static=static, pair_capacity=4096, interpret=True
+    )
+
+    # Start from too few Gaussians at capacity 64.
+    model = init_random(jax.random.PRNGKey(3), 20, sh_degree=0)
+    model, active = grow_capacity(model, 64)
+    optimizer = make_optimizer(1e-2)
+    step = jax.jit(make_train_step(
+        optimizer, static=static, pair_capacity=8192, interpret=True
+    ))
+    state = init_train_state(model, optimizer)
+    stats = init_densify_stats(64)
+
+    p0 = float(psnr(render_model(
+        state.model, cams, static=static, pair_capacity=8192, interpret=True
+    )[0], target))
+    n0 = int(active.sum())
+    cfg = DensifyConfig(grad_threshold=1e-5, opacity_cull=0.001)
+    for r in range(3):
+        for _ in range(10):
+            state, stats, aux = step(state, cams, target, stats)
+        model2, active, stats, info = densify_and_prune(
+            state.model, active, stats, jax.random.PRNGKey(10 + r),
+            scene_extent=3.0, cfg=cfg,
+        )
+        changed = model2.opacity_logit != state.model.opacity_logit
+        opt2 = reset_opt_slots(state.opt_state, changed)
+        state = state._replace(model=model2, opt_state=opt2)
+    for _ in range(10):
+        state, stats, aux = step(state, cams, target, stats)
+
+    p1 = float(psnr(render_model(
+        state.model, cams, static=static, pair_capacity=8192, interpret=True
+    )[0], target))
+    n1 = int(active.sum())
+    assert n1 > n0, (n0, n1)          # densification actually grew the model
+    assert p1 > p0 + 1.0, (p0, p1)    # and training improved quality
