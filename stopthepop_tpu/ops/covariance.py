@@ -95,15 +95,55 @@ def unpack_sym3(c):
     )
 
 
+def _rotmat_rows(q):
+    """Rotation matrix entries as 9 separate [...] arrays (row-major).
+
+    Batched [..., 3, 3] matrices force XLA to run tiny 3x3 dot_generals —
+    catastrophic on TPU (each matrix pads onto MXU tiles). Keeping the nine
+    entries as flat vectors keeps everything on the VPU at full width.
+    """
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (
+        1.0 - 2.0 * (y * y + z * z),
+        2.0 * (x * y - r * z),
+        2.0 * (x * z + r * y),
+        2.0 * (x * y + r * z),
+        1.0 - 2.0 * (x * x + z * z),
+        2.0 * (y * z - r * x),
+        2.0 * (x * z - r * y),
+        2.0 * (y * z + r * x),
+        1.0 - 2.0 * (x * x + y * y),
+    )
+
+
+def _rot_diag_rot_t(q, d):
+    """Packed symmetric R diag(d) R^T from component math (VPU-only).
+
+    sigma_ik = sum_j R_ij d_j R_kj; six unique outputs.
+    """
+    m = _rotmat_rows(q)
+    d0, d1, d2 = d[..., 0], d[..., 1], d[..., 2]
+    rows = ((m[0], m[1], m[2]), (m[3], m[4], m[5]), (m[6], m[7], m[8]))
+
+    def entry(i, k):
+        a, b, c = rows[i]
+        e, f, g = rows[k]
+        return d0 * a * e + d1 * b * f + d2 * c * g
+
+    return jnp.stack(
+        [entry(0, 0), entry(0, 1), entry(0, 2),
+         entry(1, 1), entry(1, 2), entry(2, 2)],
+        axis=-1,
+    )
+
+
 def compute_cov3d(scales, scale_modifier, rotations):
     """World covariance Sigma = R diag(s^2) R^T, packed [..., 6].
 
     Reference: forward_common.h:149-183 (computeCov3D).
     """
-    R = quat_to_rotmat(rotations)
     s2 = jnp.square(scales * scale_modifier)
-    sigma = jnp.einsum("...ij,...j,...kj->...ik", R, s2, R, precision=_HIGHEST)
-    return _pack_sym3(sigma)
+    return _rot_diag_rot_t(rotations, s2)
 
 
 def compute_inv_cov3d(scales, scale_modifier, rotations):
@@ -112,11 +152,9 @@ def compute_inv_cov3d(scales, scale_modifier, rotations):
     The scale floor matches stopthepop_common.cuh:19-21 (effectively thickens
     degenerate Gaussians).
     """
-    R = quat_to_rotmat(rotations)
     s = jnp.maximum(scales, INV_COV_SCALE_FLOOR) * scale_modifier
     inv_s2 = 1.0 / jnp.square(s)
-    inv = jnp.einsum("...ij,...j,...kj->...ik", R, inv_s2, R, precision=_HIGHEST)
-    return _pack_sym3(inv)
+    return _rot_diag_rot_t(rotations, inv_s2)
 
 
 def compute_cov2d(p_view, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, viewmatrix):
@@ -135,21 +173,35 @@ def compute_cov2d(p_view, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, viewmatri
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    # J: [..., 2, 3] projection Jacobian (third output row is all-zero in the
-    # reference and contributes nothing, so it is dropped).
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )
-    W = viewmatrix[:3, :3].T  # R_w2v
-    T = jnp.matmul(J, W, precision=_HIGHEST)  # [..., 2, 3]
-    sigma = unpack_sym3(cov3d)
-    cov = jnp.matmul(jnp.matmul(T, sigma, precision=_HIGHEST), jnp.swapaxes(T, -1, -2), precision=_HIGHEST)
-    return jnp.stack([cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]], axis=-1)
+    # Projection Jacobian rows (the reference's third row is all-zero and is
+    # dropped). Kept as component vectors — see _rotmat_rows for why no
+    # [..., 2, 3] matrices.
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z2
+
+    W = viewmatrix[:3, :3].T  # R_w2v, a single constant 3x3
+    # T = J @ W: t_{il} = sum_m J_im W_ml with J sparse (J01 = J10 = 0).
+    t0 = [j00 * W[0, l] + j02 * W[2, l] for l in range(3)]
+    t1 = [j11 * W[1, l] + j12 * W[2, l] for l in range(3)]
+
+    # cov = T Sigma T^T with packed symmetric Sigma.
+    xx, xy, xz, yy, yz, zz = (cov3d[..., i] for i in range(6))
+
+    def sigma_dot(v):  # Sigma @ v for component vector v
+        return (
+            xx * v[0] + xy * v[1] + xz * v[2],
+            xy * v[0] + yy * v[1] + yz * v[2],
+            xz * v[0] + yz * v[1] + zz * v[2],
+        )
+
+    s0 = sigma_dot(t0)
+    c00 = t0[0] * s0[0] + t0[1] * s0[1] + t0[2] * s0[2]
+    c01 = t1[0] * s0[0] + t1[1] * s0[1] + t1[2] * s0[2]
+    s1 = sigma_dot(t1)
+    c11 = t1[0] * s1[0] + t1[1] * s1[1] + t1[2] * s1[2]
+    return jnp.stack([c00, c01, c11], axis=-1)
 
 
 def dilate_cov2d(cov2d, proper_ewa_scaling: bool):

@@ -21,7 +21,7 @@ from ..constants import (
     TILE_X,
     TILE_Y,
 )
-from .covariance import compute_inv_cov3d, unpack_sym3
+from .covariance import compute_inv_cov3d
 from .transforms import pix2world
 
 
@@ -32,15 +32,27 @@ def pack_inv_cov3d(scales, scale_modifier, rotations, means3d, campos):
     is stored, i.e. Sigma^-1 (mean - campos)).
     """
     inv6 = compute_inv_cov3d(scales, scale_modifier, rotations)
-    inv = unpack_sym3(inv6)
-    u = jnp.einsum("...ij,...j->...i", inv, means3d - campos)
-    return jnp.concatenate([inv6, u], axis=-1)
+    return pack_inv_cov3d_from_inv6(inv6, means3d, campos)
 
 
 def pack_inv_cov3d_from_inv6(inv6, means3d, campos):
-    """Same as pack_inv_cov3d but from an already-computed packed Sigma^-1."""
-    inv = unpack_sym3(inv6)
-    u = jnp.einsum("...ij,...j->...i", inv, means3d - campos)
+    """Same as pack_inv_cov3d but from an already-computed packed Sigma^-1.
+
+    The symmetric matrix-vector product is written in component form — a
+    batched [..., 3, 3] einsum lowers to tiny per-row dots that strand the
+    TPU's vector unit (see covariance._rotmat_rows).
+    """
+    xx, xy, xz, yy, yz, zz = (inv6[..., i] for i in range(6))
+    v = means3d - campos
+    vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+    u = jnp.stack(
+        [
+            xx * vx + xy * vy + xz * vz,
+            xy * vx + yy * vy + yz * vz,
+            xz * vx + yz * vy + zz * vz,
+        ],
+        axis=-1,
+    )
     return jnp.concatenate([inv6, u], axis=-1)
 
 

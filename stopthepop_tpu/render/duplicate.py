@@ -31,6 +31,7 @@ touches.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -50,12 +51,44 @@ from .preprocess import PreprocessOutput
 def rank_expand(offsets_inclusive: jnp.ndarray, capacity: int) -> jnp.ndarray:
     """g[i] = number of offsets <= i, for i in [0, capacity).
 
-    Branch-free searchsorted(offsets, arange(capacity), side='right').
+    Branch-free searchsorted(offsets, arange(capacity), side='right'). The
+    running count rides an f32 cumsum (exact below 2^24, i.e. any realistic
+    P) — XLA's i32 scan on TPU is several times slower than the f32 one.
     """
-    marks = jnp.zeros((capacity,), jnp.int32).at[offsets_inclusive].add(
-        1, mode="drop"
+    assert capacity < (1 << 24), "rank_expand f32 cumsum needs capacity < 2^24"
+    marks = jnp.zeros((capacity,), jnp.float32).at[offsets_inclusive].add(
+        1.0, mode="drop"
     )
-    return jnp.cumsum(marks)
+    return jnp.cumsum(marks).astype(jnp.int32)
+
+
+def rect_histogram(prep: PreprocessOutput, grid_x: int, grid_y: int):
+    """Exact per-tile pair counts [T] without touching the pair domain.
+
+    counts[ty, tx] = sum_g 1[rect_g covers (tx, ty)] — separable into two
+    indicator matrices contracted over Gaussians, which the MXU eats in well
+    under a millisecond. The scatter-add alternative (one update per *pair*)
+    costs ~15 ms at production sizes. Indicators are exactly representable in
+    bf16; accumulation happens in f32, so the counts are exact.
+
+    Only valid when nothing culls pairs *per-tile* (i.e. not
+    tile_based_culling) — per-Gaussian culling is handled by the valid mask.
+    """
+    tx = jnp.arange(grid_x, dtype=jnp.int32)
+    ty = jnp.arange(grid_y, dtype=jnp.int32)
+    a = (
+        (tx[None, :] >= prep.rect_min[:, :1])
+        & (tx[None, :] < prep.rect_max[:, :1])
+        & prep.valid[:, None]
+    ).astype(jnp.bfloat16)  # [P, gx]
+    b = (
+        (ty[None, :] >= prep.rect_min[:, 1:2])
+        & (ty[None, :] < prep.rect_max[:, 1:2])
+    ).astype(jnp.bfloat16)  # [P, gy]
+    counts = jax.lax.dot_general(
+        b, a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [gy, gx]
+    return counts.reshape(-1).astype(jnp.int32)
 
 
 class AlignedSegments(NamedTuple):
@@ -276,10 +309,15 @@ def build_pairs_aligned(
         campos=campos, inverse_vp=inverse_vp,
         image_width=image_width, image_height=image_height,
     )
-    valid = tile_id != INVALID_TILE_ID
-    counts = jnp.zeros((num_tiles,), jnp.int32).at[tile_id].add(
-        valid.astype(jnp.int32), mode="drop"
-    )
+    if tile_based_culling:
+        # Per-tile culling drops individual pairs; only a pair-domain
+        # histogram sees that.
+        valid = tile_id != INVALID_TILE_ID
+        counts = jnp.zeros((num_tiles,), jnp.int32).at[tile_id].add(
+            valid.astype(jnp.int32), mode="drop"
+        )
+    else:
+        counts = rect_histogram(prep, grid_x, grid_y)
     pad_needed = (-counts) % align  # [T]
 
     # Padding block [T, align]: row t contributes pad_needed[t] entries of
@@ -345,40 +383,59 @@ def build_pairs_aligned(
 # deterministic — reduction.
 
 
-@jax.custom_vjp
-def segment_gather(table, gauss_id, orig_slot, gauss_offsets):
+@functools.lru_cache(maxsize=None)
+def make_segment_gather(capacity=None):
+    """Build (and cache) the gather op for one static ``capacity``.
+
+    ``capacity`` is the number of *real* pair slots: pre-sort slots
+    >= capacity are the alignment-padding block appended by
+    build_pairs_aligned, whose cotangents are identically zero — restricting
+    the backward to [:capacity] cuts the unsort gather and scan by the
+    padding fraction (~30% at production sizes). None means no bound.
+    """
+
+    @jax.custom_vjp
+    def gather(table, gauss_id, orig_slot, gauss_offsets):
+        return table[gauss_id]
+
+    def gather_fwd(table, gauss_id, orig_slot, gauss_offsets):
+        return table[gauss_id], (orig_slot, gauss_offsets)
+
+    def gather_bwd(res, d_out):
+        import numpy as np
+
+        orig_slot, offsets = res
+        C, F = d_out.shape
+        cap = C if capacity is None else min(capacity, C)
+        _, inv = jax.lax.sort(
+            (orig_slot, jnp.arange(C, dtype=jnp.int32)), num_keys=1
+        )
+        # Sorted positions of the real (non-padding) pre-sort slots only.
+        d_un = d_out[inv[:cap]]  # pre-sort slot order: Gaussian-contiguous
+        cs = jnp.cumsum(d_un, axis=0)
+        cs0 = jnp.concatenate([jnp.zeros((1, F), d_out.dtype), cs], axis=0)
+        offsets = jnp.minimum(offsets, cap)  # overflowed pairs were dropped
+        # prev[g] == offsets[g-1], so one gather + a shift covers both
+        # segment edges (saves a second [P, F] gather).
+        cs_at = cs0[offsets]
+        d_table = cs_at - jnp.concatenate(
+            [jnp.zeros((1, F), d_out.dtype), cs_at[:-1]], axis=0
+        )
+
+        def int0(x):
+            return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+        return d_table, int0(orig_slot), int0(orig_slot), int0(offsets)
+
+    gather.defvjp(gather_fwd, gather_bwd)
+    return gather
+
+
+def segment_gather(table, gauss_id, orig_slot, gauss_offsets, capacity=None):
     """table[gauss_id] with a sort-and-scan (gather-only) VJP."""
-    return table[gauss_id]
-
-
-def _segment_gather_fwd(table, gauss_id, orig_slot, gauss_offsets):
-    return table[gauss_id], (orig_slot, gauss_offsets)
-
-
-def _segment_gather_bwd(res, d_out):
-    import numpy as np
-
-    orig_slot, offsets = res
-    C, F = d_out.shape
-    _, inv = jax.lax.sort(
-        (orig_slot, jnp.arange(C, dtype=jnp.int32)), num_keys=1
+    return make_segment_gather(capacity)(
+        table, gauss_id, orig_slot, gauss_offsets
     )
-    d_un = d_out[inv]  # pre-sort slot order: Gaussian-contiguous
-    cs = jnp.cumsum(d_un, axis=0)
-    cs0 = jnp.concatenate([jnp.zeros((1, F), d_out.dtype), cs], axis=0)
-    offsets = jnp.minimum(offsets, C)  # overflowed pairs were dropped
-    prev = jnp.concatenate(
-        [jnp.zeros((1,), offsets.dtype), offsets[:-1]]
-    )
-    d_table = cs0[offsets] - cs0[prev]
-
-    def int0(x):
-        return np.zeros(x.shape, dtype=jax.dtypes.float0)
-
-    return d_table, int0(res[0]), int0(res[0]), int0(res[1])
-
-
-segment_gather.defvjp(_segment_gather_fwd, _segment_gather_bwd)
 
 
 def align_segments(

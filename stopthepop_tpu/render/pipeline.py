@@ -46,17 +46,20 @@ def tile_grid(width: int, height: int):
     return (width + TILE_X - 1) // TILE_X, (height + TILE_Y - 1) // TILE_Y
 
 
-def _payload_gather(table, segs: AlignedSegments):
+def _payload_gather(table, segs: AlignedSegments, capacity=None):
     """table[gauss_id], with the gather-only VJP when the fused pair build
-    supplied the sort permutation."""
+    supplied the sort permutation. ``capacity`` (static) bounds the real
+    (non-padding) pre-sort slots for the backward (see segment_gather)."""
     if segs.orig_slot is not None:
         return segment_gather(
-            table, segs.gauss_id, segs.orig_slot, segs.gauss_offsets
+            table, segs.gauss_id, segs.orig_slot, segs.gauss_offsets,
+            capacity,
         )
     return table[segs.gauss_id]
 
 
-def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int):
+def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int,
+                  capacity: int = None):
     """Gather the feature-major blend payload [16, C_aligned + chunk].
 
     A differentiable gather: its VJP scatter-adds payload gradients back to
@@ -73,7 +76,7 @@ def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int):
         ],
         axis=1,
     )  # [P, 10] — one wide gather beats ten narrow ones on TPU
-    feats = _payload_gather(table, segs).T  # [10, C_aligned]
+    feats = _payload_gather(table, segs, capacity).T  # [10, C_aligned]
     feats = jnp.concatenate(
         [feats, jnp.zeros((PAYLOAD_F - 10, ids.shape[0]), jnp.float32)],
         axis=0,
@@ -116,7 +119,7 @@ def render_tiled(
         image_width=image_width,
         image_height=image_height,
     )
-    payload = build_payload(prep, segs, chunk)
+    payload = build_payload(prep, segs, chunk, capacity)
     blend = make_blend_global(grid_x, grid_y, chunk, interpret)
     packed = blend(payload, segs.starts, segs.counts, bg)
     color, final_t, n_contrib, depth_acc = unpack_image(
@@ -126,7 +129,7 @@ def render_tiled(
 
 
 def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
-                          chunk: int):
+                          chunk: int, capacity: int = None):
     """Gather the k-buffer blend payload [32, C_aligned + chunk].
 
     Differentiable gather (see build_payload); includes the packed inverse
@@ -140,7 +143,7 @@ def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
         ],
         axis=1,
     )  # [P, 19]
-    feats = _payload_gather(table, segs).T  # [19, C_aligned]
+    feats = _payload_gather(table, segs, capacity).T  # [19, C_aligned]
     feats = jnp.pad(feats, ((0, KB_PAYLOAD_F - feats.shape[0]), (0, chunk)))
     return feats
 
@@ -178,7 +181,7 @@ def render_tiled_kbuffer(
         image_width=image_width,
         image_height=image_height,
     )
-    payload = build_payload_kbuffer(prep, segs, chunk)
+    payload = build_payload_kbuffer(prep, segs, chunk, capacity)
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)
@@ -229,7 +232,7 @@ def render_tiled_hier(
         image_width=image_width,
         image_height=image_height,
     )
-    payload = build_payload_kbuffer(prep, segs, chunk)
+    payload = build_payload_kbuffer(prep, segs, chunk, capacity)
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)
@@ -294,7 +297,7 @@ def render_tiled_timed(
     def render(prep, pairs, bg):
         capacity_aligned = capacity + num_tiles * chunk
         segs = align_segments(pairs, num_tiles, capacity_aligned, chunk)
-        payload = build_payload(prep, segs, chunk)
+        payload = build_payload(prep, segs, chunk, capacity)
         blend = make_blend_global(grid_x, grid_y, chunk, interpret)
         packed = blend(payload, segs.starts, segs.counts, bg)
         return unpack_image(packed, grid_x, grid_y, image_width, image_height)
