@@ -384,7 +384,7 @@ def build_pairs_aligned(
 
 
 @functools.lru_cache(maxsize=None)
-def make_segment_gather(capacity=None):
+def make_segment_gather(capacity=None, grad_cols=None):
     """Build (and cache) the gather op for one static ``capacity``.
 
     ``capacity`` is the number of *real* pair slots: pre-sort slots
@@ -392,6 +392,10 @@ def make_segment_gather(capacity=None):
     build_pairs_aligned, whose cotangents are identically zero — restricting
     the backward to [:capacity] cuts the unsort gather and scan by the
     padding fraction (~30% at production sizes). None means no bound.
+
+    ``grad_cols`` (static) limits the backward to the first N table columns;
+    the rest are stop-gradient features (e.g. the depth column) whose
+    cotangents are identically zero and need not ride the unsort/scan.
     """
 
     @jax.custom_vjp
@@ -407,20 +411,29 @@ def make_segment_gather(capacity=None):
         orig_slot, offsets = res
         C, F = d_out.shape
         cap = C if capacity is None else min(capacity, C)
+        ncols = F if grad_cols is None else min(grad_cols, F)
+        d_use = d_out[:, :ncols]
         _, inv = jax.lax.sort(
             (orig_slot, jnp.arange(C, dtype=jnp.int32)), num_keys=1
         )
         # Sorted positions of the real (non-padding) pre-sort slots only.
-        d_un = d_out[inv[:cap]]  # pre-sort slot order: Gaussian-contiguous
+        d_un = d_use[inv[:cap]]  # pre-sort slot order: Gaussian-contiguous
+        # Keep the gather and the scan as separate passes — fused, XLA runs
+        # the gather at the scan's serial rate.
+        d_un = jax.lax.optimization_barrier(d_un)
         cs = jnp.cumsum(d_un, axis=0)
-        cs0 = jnp.concatenate([jnp.zeros((1, F), d_out.dtype), cs], axis=0)
+        cs0 = jnp.concatenate(
+            [jnp.zeros((1, ncols), d_out.dtype), cs], axis=0
+        )
         offsets = jnp.minimum(offsets, cap)  # overflowed pairs were dropped
         # prev[g] == offsets[g-1], so one gather + a shift covers both
         # segment edges (saves a second [P, F] gather).
         cs_at = cs0[offsets]
         d_table = cs_at - jnp.concatenate(
-            [jnp.zeros((1, F), d_out.dtype), cs_at[:-1]], axis=0
+            [jnp.zeros((1, ncols), d_out.dtype), cs_at[:-1]], axis=0
         )
+        if ncols < F:
+            d_table = jnp.pad(d_table, ((0, 0), (0, F - ncols)))
 
         def int0(x):
             return np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -431,9 +444,10 @@ def make_segment_gather(capacity=None):
     return gather
 
 
-def segment_gather(table, gauss_id, orig_slot, gauss_offsets, capacity=None):
+def segment_gather(table, gauss_id, orig_slot, gauss_offsets, capacity=None,
+                   grad_cols=None):
     """table[gauss_id] with a sort-and-scan (gather-only) VJP."""
-    return make_segment_gather(capacity)(
+    return make_segment_gather(capacity, grad_cols)(
         table, gauss_id, orig_slot, gauss_offsets
     )
 
