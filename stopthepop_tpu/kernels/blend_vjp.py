@@ -27,20 +27,24 @@ def make_blend_global(grid_x: int, grid_y: int, chunk: int, interpret: bool):
     """Build (and cache) the differentiable blend for one static config."""
 
     @jax.custom_vjp
-    def blend(payload, starts, counts, bg):
+    def blend(payload, starts, counts):
         return blend_global_forward(
-            payload, starts, counts, bg,
+            payload, starts, counts,
             grid_x=grid_x, grid_y=grid_y, chunk=chunk, interpret=interpret,
         )
 
-    def blend_fwd(payload, starts, counts, bg):
-        packed = blend(payload, starts, counts, bg)
-        return packed, (payload, starts, counts, bg, packed)
+    def blend_fwd(payload, starts, counts):
+        packed = blend(payload, starts, counts)
+        return packed, (payload, starts, counts, packed)
 
     def blend_bwd(res, g_packed):
-        payload, starts, counts, bg, packed = res
+        payload, starts, counts, packed = res
+        # The saved forward output supplies the per-pixel totals (raw
+        # committed color and final transmittance) the backward replay
+        # needs, so the kernel makes a single pass. Background compositing
+        # (and hence d_bg) lives outside the kernel entirely.
         dpay = blend_global_backward(
-            payload, g_packed, starts, counts, bg,
+            payload, g_packed, packed, starts, counts,
             grid_x=grid_x, grid_y=grid_y, chunk=chunk, interpret=interpret,
         )
         # Columns past the last aligned segment are never written by the
@@ -49,14 +53,10 @@ def make_blend_global(grid_x: int, grid_y: int, chunk: int, interpret: bool):
         total_aligned = jnp.sum(aligned)
         col = jnp.arange(dpay.shape[1], dtype=jnp.int32)
         dpay = jnp.where(col[None, :] < total_aligned, dpay, 0.0)
-        # Background gradient: out = C + T_final * bg (+ direct final_T
-        # cotangent handled in-kernel), so d_bg = sum T_final * g_color.
-        d_bg = jnp.einsum("tcp,tp->c", g_packed[:, 0:3, :], packed[:, 3, :])
         return (
             dpay,
             _int_zero_tangent(starts),
             _int_zero_tangent(counts),
-            d_bg,
         )
 
     blend.defvjp(blend_fwd, blend_bwd)

@@ -103,7 +103,7 @@ def _blend_chunk(eff, tri, T_carry):
 
 
 def _fwd_kernel(
-    starts_ref, counts_ref, bg_ref,  # scalar prefetch (SMEM)
+    starts_ref, counts_ref,          # scalar prefetch (SMEM)
     payload_ref,                     # HBM [16, C_pad]
     out_ref,                         # VMEM block [1, 8, 256]
     buf, sems,                       # scratch: [2, 16, CH] VMEM, 2 DMA sems
@@ -168,11 +168,12 @@ def _fwd_kernel(
             jnp.zeros((TILE_PIXELS, 1), jnp.float32),
         ),
     )
+    # Raw committed color — the background composite (+ final_T * bg)
+    # happens outside the kernel in jnp, so bg needs no SMEM marshaling and
+    # its gradient comes from plain autodiff.
     packed = jnp.concatenate(
         [
-            C[:, 0:1] + T * bg_ref[0],
-            C[:, 1:2] + T * bg_ref[1],
-            C[:, 2:3] + T * bg_ref[2],
+            C[:, 0:3],
             T,
             nc,
             C[:, 3:4],
@@ -187,18 +188,18 @@ def blend_global_forward(
     payload: jnp.ndarray,   # [16, C_pad] f32 (padded by >= chunk columns)
     starts: jnp.ndarray,    # [T] int32
     counts: jnp.ndarray,    # [T] int32
-    bg: jnp.ndarray,        # [3] f32
     *,
     grid_x: int,
     grid_y: int,
     chunk: int = 256,
     interpret: bool = False,
 ):
-    """Run the forward blend kernel. Returns packed [T, 8, 256]."""
+    """Run the forward blend kernel. Returns packed [T, 8, 256] with RAW
+    committed color (background not composited — done by the caller)."""
     num_tiles = grid_x * grid_y
     kernel = functools.partial(_fwd_kernel, chunk=chunk, grid_x=grid_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -214,7 +215,7 @@ def blend_global_forward(
         out_shape=jax.ShapeDtypeStruct((num_tiles, 8, TILE_PIXELS), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, counts, bg, payload)
+    )(starts, counts, payload)
 
 
 def unpack_image(packed, grid_x: int, grid_y: int, width: int, height: int):
@@ -238,27 +239,30 @@ def unpack_image(packed, grid_x: int, grid_y: int, width: int, height: int):
 # Re-derivation of the reference's GLOBAL backward render (backward.cu:437-595)
 # for the masked-cumprod formulation. The reference replays the tile range
 # BACK-to-front, reconstructing transmittance by division and accumulating
-# per-Gaussian gradients with atomicAdd. Here we replay FRONT-to-back twice:
+# per-Gaussian gradients with atomicAdd. Here ONE front-to-back replay
+# suffices: the per-pixel totals the back-to-front walk would carry are
+# already in the saved forward output —
 #
-#   pass A: recompute the blend to get, per pixel, the total committed
-#           color-dot-grad sum  S_tot = sum_j m_j w_j (c_j . g)  and T_final;
-#   pass B: recompute again, forming the suffix  S_i = S_tot - prefix_i  with
-#           a triangular matmul, and emit per-pair payload gradients:
+#   S_tot  = C_raw . g   (committed color dot its cotangent)
+#   T_final = packed[3]
 #
-#   dL/dalpha_i = m_i [ (c_i . g) T_before_i
-#                       - (S_i + (bg . g + g_T) T_final) / (1 - alpha_i) ]
+# and the replay forms the suffix  S_i = S_tot - prefix_i  with a triangular
+# matmul, emitting per-pair payload gradients:
 #
-# (the (bg.g + g_T) T_final term covers both the background compositing and a
-# direct cotangent on the final transmittance output). Gradients are gated
-# where the forward skipped (alpha < 1/255, factor < 0) and where the 0.99
-# clamp was active — matching jax.grad of the jnp oracle. Per-pair gradients
-# are written to disjoint aligned segments (no atomics needed); the caller
-# scatter-adds them to per-Gaussian arrays deterministically.
+#   dL/dalpha_i = m_i [ (c_i . g) T_before_i - (S_i + g_T T_final)/(1-alpha_i) ]
+#
+# (background compositing lives outside the kernel, so its contribution
+# arrives folded into the final-transmittance cotangent g_T). Gradients are
+# gated where the forward skipped (alpha < 1/255, factor < 0) and where the
+# 0.99 clamp was active — matching jax.grad of the jnp oracle. Per-pair
+# gradients are written to disjoint aligned segments (no atomics needed); the
+# caller scatter-adds them to per-Gaussian arrays deterministically.
 
 def _bwd_kernel(
-    starts_ref, counts_ref, bg_ref,  # scalar prefetch
+    starts_ref, counts_ref,          # scalar prefetch
     payload_ref,                     # HBM [16, C_pad]
     grad_ref,                        # VMEM block [1, 8, 256] (packed cotangent)
+    packed_ref,                      # VMEM block [1, 8, 256] (fwd output)
     dpay_ref,                        # HBM out [16, C_pad]
     buf, dbuf, sems, dsems,          # scratch
     *, chunk: int, grid_x: int,
@@ -275,12 +279,10 @@ def _bwd_kernel(
     gp = grad_ref[0]                     # [8, 256]
     g_pix = gp[0:3, :].T                 # [256, 3] color cotangent
     gT = gp[3:4, :].T                    # [256, 1] final_T cotangent
-    K = (
-        g_pix[:, 0:1] * bg_ref[0]
-        + g_pix[:, 1:2] * bg_ref[1]
-        + g_pix[:, 2:3] * bg_ref[2]
-        + gT
-    )                                    # [256, 1]
+    fwd = packed_ref[0]                  # [8, 256] saved forward output
+    S_tot = jnp.sum(fwd[0:3, :].T * g_pix, axis=1, keepdims=True)  # [256, 1]
+    T_final = fwd[3:4, :].T              # [256, 1]
+    KT = gT * T_final                    # [256, 1]
 
     def get_dma(slot, k):
         offset = pl.multiple_of(start + k * chunk, 128)
@@ -294,34 +296,10 @@ def _bwd_kernel(
             dbuf.at[slot], dpay_ref.at[:, pl.ds(offset, chunk)], dsems.at[slot]
         )
 
-    @pl.when(rounds > 0)
-    def _():
-        get_dma(0, 0).start()
-
-    # ---- pass A: totals ----
-    def body_a(k, carry):
-        T, S_tot = carry
-        slot = k % 2
-
-        @pl.when(k + 1 < rounds)
-        def _():
-            get_dma((k + 1) % 2, k + 1).start()
-
-        get_dma(slot, k).wait()
-        data = buf[slot]
-        eff = _chunk_alpha(data, pixf_x, pixf_y, count - k * chunk)
-        U, T_before, commit, T_new = _blend_chunk(eff, tri, T)
-        w = eff * T_before * commit
-        cdotg = jnp.dot(g_pix, data[6:9, :], preferred_element_type=jnp.float32)
-        S_tot = S_tot + jnp.sum(w * cdotg, axis=1, keepdims=True)
-        return T_new, S_tot
-
     ones = jnp.ones((TILE_PIXELS, 1), jnp.float32)
     zeros1 = jnp.zeros((TILE_PIXELS, 1), jnp.float32)
-    T_final, S_tot = jax.lax.fori_loop(0, rounds, body_a, (ones, zeros1))
-    KT = K * T_final  # [256, 1]
 
-    # ---- pass B: per-pair gradients ----
+    # ---- single replay pass: per-pair gradients ----
     @pl.when(rounds > 0)
     def _():
         get_dma(0, 0).start()
@@ -408,9 +386,9 @@ def _bwd_kernel(
 def blend_global_backward(
     payload: jnp.ndarray,      # [16, C_pad]
     grad_packed: jnp.ndarray,  # [T, 8, 256] cotangent of the packed output
+    packed: jnp.ndarray,       # [T, 8, 256] saved forward output
     starts: jnp.ndarray,
     counts: jnp.ndarray,
-    bg: jnp.ndarray,
     *,
     grid_x: int,
     grid_y: int,
@@ -421,10 +399,14 @@ def blend_global_backward(
     num_tiles = grid_x * grid_y
     kernel = functools.partial(_bwd_kernel, chunk=chunk, grid_x=grid_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -444,5 +426,5 @@ def blend_global_backward(
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, bg, payload, grad_packed)
+    )(starts, counts, payload, grad_packed, packed)
     return dpay

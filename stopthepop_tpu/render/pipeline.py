@@ -125,10 +125,13 @@ def render_tiled(
     )
     payload = build_payload(prep, segs, chunk, capacity)
     blend = make_blend_global(grid_x, grid_y, chunk, interpret)
-    packed = blend(payload, segs.starts, segs.counts, bg)
+    packed = blend(payload, segs.starts, segs.counts)
     color, final_t, n_contrib, depth_acc = unpack_image(
         packed, grid_x, grid_y, image_width, image_height
     )
+    # Background composite in jnp (outside the kernel): autodiff supplies
+    # d_bg and folds the bg path into the final-T cotangent for the kernel.
+    color = color + final_t[None, :, :] * bg[:, None, None]
     return color, final_t, n_contrib, pairs, depth_acc
 
 
@@ -305,8 +308,12 @@ def render_tiled_timed(
         segs = align_segments(pairs, num_tiles, capacity_aligned, chunk)
         payload = build_payload(prep, segs, chunk, capacity)
         blend = make_blend_global(grid_x, grid_y, chunk, interpret)
-        packed = blend(payload, segs.starts, segs.counts, bg)
-        return unpack_image(packed, grid_x, grid_y, image_width, image_height)
+        packed = blend(payload, segs.starts, segs.counts)
+        color, final_t, n_contrib, depth_acc = unpack_image(
+            packed, grid_x, grid_y, image_width, image_height
+        )
+        color = color + final_t[None, :, :] * bg[:, None, None]
+        return color, final_t, n_contrib, depth_acc
 
     color, final_t, n_contrib, depth_acc = timer.time(
         "Render", jax.jit(render), prep, pairs, bg
