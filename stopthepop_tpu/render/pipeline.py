@@ -48,16 +48,17 @@ def tile_grid(width: int, height: int):
 
 def _payload_gather(table, segs: AlignedSegments, capacity=None,
                     grad_cols=None):
-    """table[gauss_id], with the gather-only VJP when the fused pair build
-    supplied the sort permutation. ``capacity`` (static) bounds the real
-    (non-padding) pre-sort slots for the backward; ``grad_cols`` limits it
-    to the leading differentiable columns (see segment_gather)."""
+    """table[gauss_id].T (feature-major), with the carry-sort VJP when the
+    fused pair build supplied the sort permutation. ``capacity`` (static)
+    bounds the real (non-padding) pre-sort slots for the backward;
+    ``grad_cols`` limits it to the leading differentiable columns (see
+    segment_gather)."""
     if segs.orig_slot is not None:
         return segment_gather(
             table, segs.gauss_id, segs.orig_slot, segs.gauss_offsets,
             capacity, grad_cols,
         )
-    return table[segs.gauss_id]
+    return table[segs.gauss_id].T
 
 
 def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int,
@@ -80,7 +81,7 @@ def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int,
     )  # [P, 10] — one wide gather beats ten narrow ones on TPU
     # Only mean2d/conic/rgb (cols 0..8) carry gradients; depth is
     # stop-gradient and skips the backward reduction.
-    feats = _payload_gather(table, segs, capacity, 9).T  # [10, C]
+    feats = _payload_gather(table, segs, capacity, 9)  # [10, C]
     feats = jnp.concatenate(
         [feats, jnp.zeros((PAYLOAD_F - 10, ids.shape[0]), jnp.float32)],
         axis=0,
@@ -152,7 +153,7 @@ def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
     )  # [P, 19]
     # cov3d_inv9 / power threshold rows get zero gradient (discrete
     # resort, like the reference) — restrict the VJP to cols 0..8.
-    feats = _payload_gather(table, segs, capacity, 9).T  # [19, C]
+    feats = _payload_gather(table, segs, capacity, 9)  # [19, C]
     feats = jnp.pad(feats, ((0, KB_PAYLOAD_F - feats.shape[0]), (0, chunk)))
     return feats
 
