@@ -8,6 +8,14 @@ from .cameras import (
     load_nerf_synthetic,
     to_camera_arrays,
 )
+from .colmap import (
+    ColmapCamera,
+    ColmapImage,
+    ColmapPoints,
+    camera_from_colmap,
+    load_colmap,
+    qvec2rotmat,
+)
 from .images import (
     read_png,
     read_png_batch,
@@ -22,8 +30,14 @@ from .ply import (
 )
 
 __all__ = [
+    "ColmapCamera",
+    "ColmapImage",
+    "ColmapPoints",
     "DatasetCamera",
     "camera_from_c2w",
+    "camera_from_colmap",
+    "load_colmap",
+    "qvec2rotmat",
     "focal2fov",
     "fov2focal",
     "load_gaussian_model",
