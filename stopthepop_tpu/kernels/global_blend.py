@@ -158,16 +158,35 @@ def _fwd_kernel(
         )
         return T_new, C, nc
 
-    T, C, nc = jax.lax.fori_loop(
-        0,
-        rounds,
-        body,
+    # Early termination (forward.cu:331-335: contributors after every pixel
+    # saturates change nothing): stop streaming chunks once max T < 1e-4.
+    # The DMA for round k+1 is already in flight when round k decides to
+    # stop; the post-loop wait retires it.
+    def cond(carry):
+        k, T, C, nc, done = carry
+        return (k < rounds) & jnp.logical_not(done)
+
+    def wbody(carry):
+        k, T, C, nc, done = carry
+        T_new, C_new, nc_new = body(k, (T, C, nc))
+        done = jnp.max(T_new) < T_THRESHOLD
+        return k + 1, T_new, C_new, nc_new, done
+
+    k_end, T, C, nc, _ = jax.lax.while_loop(
+        cond,
+        wbody,
         (
+            jnp.int32(0),
             jnp.ones((TILE_PIXELS, 1), jnp.float32),
             jnp.zeros((TILE_PIXELS, 4), jnp.float32),
             jnp.zeros((TILE_PIXELS, 1), jnp.float32),
+            jnp.bool_(False),
         ),
     )
+
+    @pl.when(k_end < rounds)
+    def _():
+        get_dma(k_end % 2, k_end).wait()
     # Raw committed color — the background composite (+ final_T * bg)
     # happens outside the kernel in jnp, so bg needs no SMEM marshaling and
     # its gradient comes from plain autodiff.
@@ -283,6 +302,12 @@ def _bwd_kernel(
     S_tot = jnp.sum(fwd[0:3, :].T * g_pix, axis=1, keepdims=True)  # [256, 1]
     T_final = fwd[3:4, :].T              # [256, 1]
     KT = gT * T_final                    # [256, 1]
+    # Replay truncation (the reference walks back only to the last
+    # contributor, backward.cu:480-489): every pair past the tile's max
+    # n_contrib has either commit=0 or alpha below threshold, so its
+    # gradient is identically zero — those rounds only need zero-fill.
+    nc_max = jnp.max(fwd[4, :]).astype(jnp.int32)
+    rounds_eff = pl.cdiv(jnp.minimum(nc_max, count), chunk)
 
     def get_dma(slot, k):
         offset = pl.multiple_of(start + k * chunk, 128)
@@ -300,7 +325,7 @@ def _bwd_kernel(
     zeros1 = jnp.zeros((TILE_PIXELS, 1), jnp.float32)
 
     # ---- single replay pass: per-pair gradients ----
-    @pl.when(rounds > 0)
+    @pl.when(rounds_eff > 0)
     def _():
         get_dma(0, 0).start()
 
@@ -308,7 +333,7 @@ def _bwd_kernel(
         T, prefix = carry
         slot = k % 2
 
-        @pl.when(k + 1 < rounds)
+        @pl.when(k + 1 < rounds_eff)
         def _():
             get_dma((k + 1) % 2, k + 1).start()
 
@@ -371,15 +396,39 @@ def _bwd_kernel(
         put_dma(slot, k).start()
         return T_new, prefix_incl[:, -1:]
 
-    T_last, _ = jax.lax.fori_loop(0, rounds, body_b, (ones, zeros1))
+    T_last, _ = jax.lax.fori_loop(0, rounds_eff, body_b, (ones, zeros1))
 
-    # Drain outstanding output DMAs.
-    @pl.when(rounds >= 2)
+    # Drain outstanding output DMAs from the replay.
+    @pl.when(rounds_eff >= 2)
     def _():
-        put_dma(rounds % 2, rounds - 2).wait()
+        put_dma(rounds_eff % 2, rounds_eff - 2).wait()
 
-    @pl.when(rounds >= 1)
+    @pl.when(rounds_eff >= 1)
     def _():
+        put_dma((rounds_eff - 1) % 2, rounds_eff - 1).wait()
+
+    # Zero-fill the truncated tail so the downstream carry-sort reduction
+    # never reads stale memory: both staging buffers become zero chunks that
+    # ping-pong DMAs over the remaining aligned segment.
+    @pl.when(rounds_eff < rounds)
+    def _():
+        dbuf[0] = jnp.zeros_like(dbuf[0])
+        dbuf[1] = jnp.zeros_like(dbuf[1])
+
+        def zbody(k, _):
+            @pl.when(k >= rounds_eff + 2)
+            def _():
+                put_dma(k % 2, k - 2).wait()
+
+            put_dma(k % 2, k).start()
+            return 0
+
+        jax.lax.fori_loop(rounds_eff, rounds, zbody, 0)
+
+        @pl.when(rounds - rounds_eff >= 2)
+        def _():
+            put_dma(rounds % 2, rounds - 2).wait()
+
         put_dma((rounds - 1) % 2, rounds - 1).wait()
 
 
