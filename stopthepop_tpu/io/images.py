@@ -116,12 +116,33 @@ def write_png(path: str, img: np.ndarray) -> None:
     _write_png_python(path, img)
 
 
+def read_image(path: str) -> np.ndarray:
+    """Read any supported image into [H, W, C] uint8.
+
+    PNG goes through the native zlib codec; other formats (JPEG in COLMAP /
+    MipNeRF-360 captures) decode via Pillow when available.
+    """
+    if path.lower().endswith(".png"):
+        return read_png(path)
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - Pillow is in the image
+        raise IOError(f"{path}: non-PNG images need Pillow") from e
+    with Image.open(path) as im:
+        if im.mode not in ("L", "RGB", "RGBA"):
+            im = im.convert("RGB")
+        arr = np.asarray(im, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
 def read_png_batch(paths: List[str], n_threads: int = 8) -> List[np.ndarray]:
-    """Decode many PNGs in parallel (native decode releases the GIL)."""
+    """Decode many images in parallel (native decode releases the GIL)."""
     if len(paths) <= 1:
-        return [read_png(p) for p in paths]
+        return [read_image(p) for p in paths]
     with ThreadPoolExecutor(max_workers=n_threads) as ex:
-        return list(ex.map(read_png, paths))
+        return list(ex.map(read_image, paths))
 
 
 def to_float_rgb(

@@ -57,13 +57,7 @@ def _downscale(img: np.ndarray, factor: int) -> np.ndarray:
     ).mean(axis=(1, 3))
 
 
-def load_dataset(data_dir: str, split: str, downscale: int, bg: np.ndarray,
-                 limit: int = 0):
-    """Load (cameras, target images [N,3,H,W]) for a NeRF-synthetic split."""
-    path = os.path.join(data_dir, f"transforms_{split}.json")
-    cams = load_nerf_synthetic(path)
-    if limit:
-        cams = cams[:limit]
+def _load_targets(cams, downscale: int, bg: np.ndarray):
     imgs = read_png_batch([c.image_path for c in cams])
     targets, out_cams = [], []
     for cam, raw in zip(cams, imgs):
@@ -75,6 +69,48 @@ def load_dataset(data_dir: str, split: str, downscale: int, bg: np.ndarray,
         targets.append(img.transpose(2, 0, 1))  # [3, H, W]
         out_cams.append(cam)
     return out_cams, np.stack(targets)
+
+
+def load_dataset(data_dir: str, split: str, downscale: int, bg: np.ndarray,
+                 limit: int = 0):
+    """Load (cameras, target images [N,3,H,W]) for a NeRF-synthetic split."""
+    path = os.path.join(data_dir, f"transforms_{split}.json")
+    cams = load_nerf_synthetic(path)
+    if limit:
+        cams = cams[:limit]
+    return _load_targets(cams, downscale, bg)
+
+
+def is_colmap_scene(data_dir: str) -> bool:
+    return os.path.isdir(os.path.join(data_dir, "sparse"))
+
+
+def load_colmap_dataset(data_dir: str, split: str, downscale: int,
+                        bg: np.ndarray, limit: int = 0, llffhold: int = 8):
+    """Load a COLMAP capture (MipNeRF-360 layout) with the standard 3DGS
+    every-``llffhold``-th test split. Returns (cams, targets, points,
+    scene_extent) — extent per getNerfppNorm: 1.1x the max camera distance
+    from the camera centroid."""
+    from ..io.colmap import load_colmap
+
+    cams, points = load_colmap(data_dir, downscale=downscale)
+    centers = np.stack([c.campos for c in cams])
+    extent = 1.1 * float(
+        np.max(np.linalg.norm(centers - centers.mean(0), axis=1))
+    )
+    test = [c for i, c in enumerate(cams) if llffhold and i % llffhold == 0]
+    train = [c for i, c in enumerate(cams)
+             if not llffhold or i % llffhold != 0]
+    sel = test if split == "test" else train
+    if limit:
+        sel = sel[:limit]
+    # MipNeRF-360 ships pre-scaled images_N dirs (load_colmap picked one);
+    # otherwise area-downscale the full-res frames here.
+    prescaled = downscale > 1 and os.path.isdir(
+        os.path.join(data_dir, f"images_{downscale}")
+    )
+    out_cams, targets = _load_targets(sel, 1 if prescaled else downscale, bg)
+    return out_cams, targets, points, extent
 
 
 def make_static_settings(cam, bg, sh_degree: int,
@@ -146,21 +182,38 @@ def main(argv=None):
 
     bg = np.ones(3, np.float32) if args.white_bg else np.zeros(3, np.float32)
     print(f"loading {args.data} ...", flush=True)
-    cams, targets = load_dataset(args.data, "train", args.downscale, bg,
-                                 limit=args.train_frames)
-    try:
-        eval_cams, eval_targets = load_dataset(
+    rng = np.random.default_rng(args.seed)
+    init_points = None
+    if is_colmap_scene(args.data):
+        cams, targets, points, extent = load_colmap_dataset(
+            args.data, "train", args.downscale, bg, limit=args.train_frames)
+        eval_cams, eval_targets, _, _ = load_colmap_dataset(
             args.data, "test", args.downscale, bg, limit=args.eval_frames)
-    except FileNotFoundError:
-        eval_cams, eval_targets = cams[: args.eval_frames], \
-            targets[: args.eval_frames]
+        args.scene_extent = extent
+        init_points = points
+    else:
+        cams, targets = load_dataset(args.data, "train", args.downscale, bg,
+                                     limit=args.train_frames)
+        try:
+            eval_cams, eval_targets = load_dataset(
+                args.data, "test", args.downscale, bg,
+                limit=args.eval_frames)
+        except FileNotFoundError:
+            eval_cams, eval_targets = cams[: args.eval_frames], \
+                targets[: args.eval_frames]
     h, w = cams[0].height, cams[0].width
     print(f"{len(cams)} train / {len(eval_cams)} eval frames @ {w}x{h}",
           flush=True)
 
-    rng = np.random.default_rng(args.seed)
-    model = init_model(rng, args.init_points, args.scene_extent,
-                       args.sh_degree)
+    if init_points is not None:
+        model = from_points(jnp.asarray(init_points.xyz),
+                            jnp.asarray(init_points.rgb),
+                            sh_degree=args.sh_degree)
+        print(f"init from {init_points.xyz.shape[0]} COLMAP points, "
+              f"scene extent {args.scene_extent:.2f}", flush=True)
+    else:
+        model = init_model(rng, args.init_points, args.scene_extent,
+                           args.sh_degree)
     model, active = grow_capacity(model, args.capacity)
 
     static = make_static_settings(cams[0], bg, args.sh_degree,
