@@ -308,15 +308,36 @@ def _fwd_kernel(
         )
         for i, r in enumerate(rows):
             ad_scr[i] = r.T
-        return jax.lax.fori_loop(0, chunk, consume, carry)
+        def quad(q, c):
+            return jax.lax.fori_loop(
+                0, 4, lambda j, cc: consume(q * 4 + j, cc), c, unroll=4
+            )
+
+        return jax.lax.fori_loop(0, chunk // 4, quad, carry)
 
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
     zi = jnp.zeros((1, TILE_PIXELS), jnp.int32)
     state0 = (ones, zeros, zeros, zeros, zeros, zeros, zeros)
-    state, ft, fm, fh = jax.lax.fori_loop(
-        0, rounds, body, (state0, zi, zi, zi)
+
+    # Round-level early termination (exact: commits are gated on the done
+    # latch, so once every pixel saturates the rest of the stream is dead
+    # work; the scalar while-condition amortizes over a whole chunk).
+    def rcond(carry):
+        kk, (state, ft, fm, fh) = carry
+        return (kk < rounds) & (jnp.min(state[5]) < 0.5)
+
+    def rbody(carry):
+        kk, c = carry
+        return kk + 1, body(kk, c)
+
+    k_end, (state, ft, fm, fh) = jax.lax.while_loop(
+        rcond, rbody, (jnp.int32(0), (state0, zi, zi, zi))
     )
+
+    @pl.when(k_end < rounds)
+    def _():
+        get_dma(k_end % 2, k_end).wait()
 
     inf_new_t = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (TAIL_F - 1)
     inf_new_m = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (MID_F - 1)
@@ -636,17 +657,37 @@ def _bwd_kernel(
             ad_scr[8 + i] = jnp.broadcast_to(
                 data[f:f + 1, :].T, (chunk, TILE_PIXELS)
             )
-        return jax.lax.fori_loop(
-            0, chunk, lambda j, c: consume(j, c, kk * chunk), carry
-        )
+        def quad(q, c):
+            return jax.lax.fori_loop(
+                0, 4,
+                lambda j, cc: consume(q * 4 + j, cc, kk * chunk), c,
+                unroll=4,
+            )
+
+        return jax.lax.fori_loop(0, chunk // 4, quad, carry)
 
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
     zi = jnp.zeros((1, TILE_PIXELS), jnp.int32)
     state0 = (ones, zeros, zeros)  # T, acc.g, done
-    state, ft, fm, fh = jax.lax.fori_loop(
-        0, rounds, body, (state0, zi, zi, zi)
+
+    # Round-level early termination mirroring the forward (dseg was
+    # pre-zeroed, so skipped rounds still write zero gradients back).
+    def rcond(carry):
+        kk, (state, ft, fm, fh) = carry
+        return (kk < rounds) & (jnp.min(state[2]) < 0.5)
+
+    def rbody(carry):
+        kk, c = carry
+        return kk + 1, body(kk, c)
+
+    k_end, (state, ft, fm, fh) = jax.lax.while_loop(
+        rcond, rbody, (jnp.int32(0), (state0, zi, zi, zi))
     )
+
+    @pl.when(k_end < rounds)
+    def _():
+        get_dma(k_end % 2, k_end).wait()
 
     inf_new_t = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (TAIL_B - 1)
     inf_new_m = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (MID_B - 1)

@@ -216,7 +216,12 @@ def _fwd_kernel(
             ad_scr[2 + c] = jnp.broadcast_to(
                 data[6 + c:7 + c, :].T, (chunk, TILE_PIXELS)
             )
-        return jax.lax.fori_loop(0, chunk, consume, carry)
+        def quad(q, c):
+            return jax.lax.fori_loop(
+                0, 4, lambda j, cc: consume(q * 4 + j, cc), c, unroll=4
+            )
+
+        return jax.lax.fori_loop(0, chunk // 4, quad, carry)
 
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
@@ -235,7 +240,28 @@ def _fwd_kernel(
         zeros,                                   # done latch (float 0/1)
         zeros,                                   # depth accumulator
     )
-    win, state = jax.lax.fori_loop(0, rounds, body, (win0, state0))
+
+    # Round-level early termination: once every pixel's done latch is set
+    # (T < 1e-4), no later pair can commit — pops are gated on the latch, so
+    # skipping the rest of the stream is exact (forward.cu:331-335). The
+    # per-round body consumes a whole chunk, so the while_loop's scalar
+    # condition is amortized over 128 pairs (unlike the GLOBAL kernel, where
+    # it would serialize round-sized work).
+    def cond(carry):
+        kk, (win, state) = carry
+        return (kk < rounds) & (jnp.min(state[6]) < 0.5)
+
+    def wbody(carry):
+        kk, c = carry
+        return kk + 1, body(kk, c)
+
+    k_end, (win, state) = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), (win0, state0))
+    )
+
+    @pl.when(k_end < rounds)
+    def _():
+        get_dma(k_end % 2, k_end).wait()
 
     def drain(_, carry):
         win, state = carry
@@ -509,9 +535,14 @@ def _bwd_kernel(
             ad_scr[2 + i] = jnp.broadcast_to(
                 data[f:f + 1, :].T, (chunk, TILE_PIXELS)
             )
-        return jax.lax.fori_loop(
-            0, chunk, lambda j, c: consume(j, c, kk * chunk), carry
-        )
+        def quad(q, c):
+            return jax.lax.fori_loop(
+                0, 4,
+                lambda j, cc: consume(q * 4 + j, cc, kk * chunk), c,
+                unroll=4,
+            )
+
+        return jax.lax.fori_loop(0, chunk // 4, quad, carry)
 
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
@@ -536,7 +567,25 @@ def _bwd_kernel(
         zeros,                                   # n_contrib (unused)
         zeros,                                   # done latch
     )
-    win, state = jax.lax.fori_loop(0, rounds, body, (win0, state0))
+
+    # Round-level early termination mirroring the forward: all gradients
+    # after every pixel's done latch is set are identically zero (dseg was
+    # pre-zeroed, so the skipped rounds still write zeros back).
+    def rcond(carry):
+        kk, (win, state) = carry
+        return (kk < rounds) & (jnp.min(state[4]) < 0.5)
+
+    def rbody(carry):
+        kk, c = carry
+        return kk + 1, body(kk, c)
+
+    k_end, (win, state) = jax.lax.while_loop(
+        rcond, rbody, (jnp.int32(0), (win0, state0))
+    )
+
+    @pl.when(k_end < rounds)
+    def _():
+        get_dma(k_end % 2, k_end).wait()
 
     def drain(_, carry):
         win, state = carry
