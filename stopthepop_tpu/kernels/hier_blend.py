@@ -277,17 +277,18 @@ def _fwd_kernel(
 
     def consume(j, carry):
         state, ft, fm, fh = carry
-        a_j = ad_scr[0, pl.ds(j, 1), :]
-        vt = ad_scr[4, pl.ds(j, 1), :] > 0.5
+        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [8, 256] one load
+        a_j = row[0:1]
+        vt = row[4:5] > 0.5
         pop_t = vt & (ft == kt)
         new = [
-            ad_scr[1, pl.ds(j, 1), :],  # key = d_tail
-            ad_scr[2, pl.ds(j, 1), :],  # d_mid
-            ad_scr[3, pl.ds(j, 1), :],  # d_head
+            row[1:2],  # key = d_tail
+            row[2:3],  # d_mid
+            row[3:4],  # d_head
             a_j,
-            ad_scr[5, pl.ds(j, 1), :],
-            ad_scr[6, pl.ds(j, 1), :],
-            ad_scr[7, pl.ds(j, 1), :],
+            row[5:6],
+            row[6:7],
+            row[7:8],
         ]
         e_t = _win_update(tail, TAIL_F, pop_t, vt, new)
         state, fm, fh = push_mid(state, fm, fh, pop_t, e_t)
@@ -611,26 +612,27 @@ def _bwd_kernel(
 
     def consume(j, carry, base):
         state, ft, fm, fh = carry
-        vt = ad_scr[4, pl.ds(j, 1), :] > 0.5
+        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [14, 256] one load
+        vt = row[4:5] > 0.5
         pop_t = vt & (ft == kt)
         srcv = (
             jnp.zeros((1, TILE_PIXELS), jnp.float32) + (base + j)
         )
         new = [
-            ad_scr[1, pl.ds(j, 1), :],   # key = d_tail
-            ad_scr[2, pl.ds(j, 1), :],   # d_mid
-            ad_scr[3, pl.ds(j, 1), :],   # d_head
-            ad_scr[0, pl.ds(j, 1), :],   # a
-            ad_scr[5, pl.ds(j, 1), :],   # r
-            ad_scr[6, pl.ds(j, 1), :],   # g
-            ad_scr[7, pl.ds(j, 1), :],   # b
-            ad_scr[8, pl.ds(j, 1), :],   # x
-            ad_scr[9, pl.ds(j, 1), :],   # y
-            ad_scr[10, pl.ds(j, 1), :],  # ca
-            ad_scr[11, pl.ds(j, 1), :],  # cb
-            ad_scr[12, pl.ds(j, 1), :],  # cc
-            ad_scr[13, pl.ds(j, 1), :],  # opw
-            srcv,                        # src (as float; exact below 2^24)
+            row[1:2],    # key = d_tail
+            row[2:3],    # d_mid
+            row[3:4],    # d_head
+            row[0:1],    # a
+            row[5:6],    # r
+            row[6:7],    # g
+            row[7:8],    # b
+            row[8:9],    # x
+            row[9:10],   # y
+            row[10:11],  # ca
+            row[11:12],  # cb
+            row[12:13],  # cc
+            row[13:14],  # opw
+            srcv,        # src (as float; exact below 2^24)
         ]
         e_t = _win_update(tail, TAIL_B, pop_t, vt, new)
         state, fm, fh = push_mid(state, fm, fh, pop_t, e_t)

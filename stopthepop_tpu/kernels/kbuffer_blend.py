@@ -184,16 +184,18 @@ def _fwd_kernel(
 
     def consume(j, carry):
         win, state = carry
-        a_j = ad_scr[0, pl.ds(j, 1), :]
+        # One dynamic-offset load for the whole entry (5 rows), not five.
+        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [5, 256]
+        a_j = row[0:1]
         v = a_j > 0.0
         popm = (state[0] == k) & v
         win, state, _, _ = _pop_blend(win, state, popm)
         new = {
-            "d": ad_scr[1, pl.ds(j, 1), :],
+            "d": row[1:2],
             "a": a_j,
-            "r": ad_scr[2, pl.ds(j, 1), :],
-            "g": ad_scr[3, pl.ds(j, 1), :],
-            "b": ad_scr[4, pl.ds(j, 1), :],
+            "r": row[2:3],
+            "g": row[3:4],
+            "b": row[4:5],
         }
         win, fill = _insert(win, state[0], v, new)
         return win, (fill,) + state[1:]
@@ -494,23 +496,25 @@ def _bwd_kernel(
 
     def consume(j, carry, base):
         win, state = carry
-        a_j = ad_scr[0, pl.ds(j, 1), :]
+        # One dynamic-offset load for the whole entry (11 rows), not eleven.
+        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [11, 256]
+        a_j = row[0:1]
         v = a_j > 0.0
         popm = (state[0] == k) & v
         win, state = pop_grads(win, state, popm)
         srcv = jnp.full((1, TILE_PIXELS), 0, jnp.int32) + (base + j)
         new = {
-            "d": ad_scr[1, pl.ds(j, 1), :],
+            "d": row[1:2],
             "a": a_j,
-            "r": ad_scr[2, pl.ds(j, 1), :],
-            "g": ad_scr[3, pl.ds(j, 1), :],
-            "b": ad_scr[4, pl.ds(j, 1), :],
-            "x": ad_scr[5, pl.ds(j, 1), :],
-            "y": ad_scr[6, pl.ds(j, 1), :],
-            "ca": ad_scr[7, pl.ds(j, 1), :],
-            "cb": ad_scr[8, pl.ds(j, 1), :],
-            "cc": ad_scr[9, pl.ds(j, 1), :],
-            "opw": ad_scr[10, pl.ds(j, 1), :],
+            "r": row[2:3],
+            "g": row[3:4],
+            "b": row[4:5],
+            "x": row[5:6],
+            "y": row[6:7],
+            "ca": row[7:8],
+            "cb": row[8:9],
+            "cc": row[9:10],
+            "opw": row[10:11],
             "src": srcv,
         }
         win, fill = _insert(win, state[0], v, new)

@@ -86,3 +86,13 @@ def test_sharded_step_matches_single_device():
             np.asarray(a), np.asarray(b), atol=1e-5,
             err_msg=f"sharded parameter mismatch: {name}",
         )
+
+
+def test_hosts_global_mesh():
+    from stopthepop_tpu.parallel import hosts
+
+    hosts.initialize()  # single-process: no-op
+    mesh = hosts.global_mesh(("tiles",))
+    assert mesh.shape["tiles"] == len(jax.devices())
+    mesh2 = hosts.global_mesh(("data", "gauss"))
+    assert mesh2.shape["data"] * mesh2.shape["gauss"] == len(jax.devices())
