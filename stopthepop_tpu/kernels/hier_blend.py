@@ -220,6 +220,151 @@ def _blend_one(state, popm, a0, r0, g0, b0, d0):
     return (T, Cr, Cg, Cb, nc, done, D), commit, w
 
 
+# ---------------------------------------------------------------------------
+# Forward: packed-plane tail
+# ---------------------------------------------------------------------------
+#
+# The tail window is per-4x4-SUB-TILE, and every per-pixel quantity an entry
+# needs downstream (alpha, quad-ray and pixel-ray depths) is a pure function
+# of 18 per-Gaussian scalars and fixed per-pixel constants. So instead of
+# seven [kt, 256] per-pixel field arrays (each insert touching 7*kt*256
+# elements), the forward tail stores FOUR [kt, 128] planes with lane
+# l = subtile(l // 8) * 8 + field(l % 8):
+#
+#   plane 0  key: d_tail replicated over the 8 field lanes (so insert
+#            positions computed on the key plane are valid lane-wise for
+#            the value planes);
+#   plane 1  x, y, conic a/b/c, opacity, r, g      (payload rows 0-7)
+#   plane 2  b, inv-cov xx,xy,xz,yy,yz,zz, u0      (payload rows 8-15)
+#   plane 3  u1, u2, pad...                        (payload rows 16-17)
+#
+# Insertion touches 4*kt*128 elements — 3.5x less than the unpacked form.
+# At pop time the front entry is unpacked to group-replicated [1, 256] rows
+# with single-vreg constant-index lane gathers, and alpha / d_mid / d_head
+# are recomputed with exactly the intake formulas (bit-identical: same f32
+# inputs, same operation order), so the mid/head cascade and the oracle
+# semantics are unchanged.
+
+TAIL_PLANES = 4
+PK_STAGE = 5  # packed staging rows: key, V1, V2, V3, v_tail
+
+
+def _intake_packed(data, cam_ref, tx, ty, count_rem, width, height,
+                   hier_4x4_culling):
+    """Per-chunk packed tail staging: returns PK_STAGE rows of [CH, 128].
+
+    Everything is computed at sub-tile granularity (16 rows) — the per-pixel
+    quantities of the old intake are deferred to pop-time recompute.
+    """
+    ch = data.shape[1]
+    j16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    st_min_x = (tx * 16 + (j16 % 4) * 4).astype(jnp.float32)
+    st_min_y = (ty * 16 + (j16 // 4) * 4).astype(jnp.float32)
+    vd_t = _view_rays(cam_ref, st_min_x + 1.5, st_min_y + 1.5, width, height)
+    d_tail16 = _ray_depth(data, vd_t)                        # [16, CH]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+    v16 = (col < count_rem) & (d_tail16 >= 0.0)
+    if hier_4x4_culling:
+        power16 = _subtile_power(data, st_min_x, st_min_y)
+        v16 = v16 & (power16 <= data[18:19, :])
+
+    # Per-gaussian scalars: transpose the payload once, then one
+    # constant-index lane gather per value plane (idx < 32: single vreg).
+    dataT = jnp.pad(data[:18].T, ((0, 0), (0, 128 - 18)))    # [CH, 128]
+    q = jax.lax.broadcasted_iota(jnp.int32, (ch, 128), 1)
+    f = q % 8
+    v1 = jnp.take_along_axis(dataT, f, axis=1)               # rows 0-7
+    v2 = jnp.take_along_axis(dataT, 8 + f, axis=1)           # rows 8-15
+    v3 = jnp.take_along_axis(dataT, jnp.minimum(16 + f, 17), axis=1)
+
+    # Sub-tile rows -> packed lanes (replicate x8): idx = q // 8 < 16.
+    sub = q // 8
+    keyT = jnp.pad(d_tail16.T, ((0, 0), (0, 128 - 16)))      # [CH, 128]
+    key = jnp.take_along_axis(keyT, sub, axis=1)
+    vtT = jnp.pad(v16.astype(jnp.float32).T, ((0, 0), (0, 128 - 16)))
+    vt = jnp.take_along_axis(vtT, sub, axis=1)
+    return key, v1, v2, v3, vt
+
+
+def _packed_win_update(tail, kt, popm, v, new):
+    """Fused front-pop + sorted-insert on the packed tail planes.
+
+    tail: VMEM ref [4, kt, 128]; popm/v: [1, 128] group-replicated masks;
+    new: [PK_STAGE, 128] staging row (planes 0..3 used). Returns the popped
+    front [4, 128] (read before mutation).
+    """
+    front = tail[:, 0, :]                                    # [4, 128]
+    key = tail[0]
+    key1 = jnp.where(
+        popm,
+        jnp.concatenate([key[1:], jnp.full_like(key[:1], jnp.inf)], axis=0),
+        key,
+    )
+    pos = jnp.sum((key1 <= new[0:1]).astype(jnp.int32), axis=0,
+                  keepdims=True)
+    ik = jax.lax.broadcasted_iota(jnp.int32, (kt, 128), 0)
+
+    def upd(x, nv, pad):
+        x1 = jnp.where(
+            popm,
+            jnp.concatenate([x[1:], jnp.full_like(x[:1], pad)], axis=0),
+            x,
+        )
+        shifted = jnp.concatenate([x1[:1], x1[:-1]], axis=0)
+        x2 = jnp.where(ik < pos, x1, jnp.where(ik == pos, nv, shifted))
+        return jnp.where(v, x2, x1)
+
+    tail[0] = upd(key, new[0:1], jnp.inf)
+    for pp in range(1, TAIL_PLANES):
+        tail[pp] = upd(tail[pp], new[pp:pp + 1], 0.0)
+    return front
+
+
+def _unpack_popped(front, popm):
+    """Packed front [4, 128] -> 18 group-replicated [1, 256] scalar rows
+    plus the pop mask widened to [1, 256].
+
+    Single-vreg lane gathers: output lane p (subtile p // 16, field f) reads
+    source lane (p // 16) * 8 + f; done in two 128-lane halves.
+    """
+    op_a = jnp.concatenate(
+        [
+            jnp.broadcast_to(front[1:2, :], (8, 128)),
+            jnp.broadcast_to(front[2:3, :], (8, 128)),
+        ],
+        axis=0,
+    )  # [16, 128] rows r: field r of plane 1/2
+    r16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    q16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+    op_b = jnp.concatenate(
+        [
+            jnp.broadcast_to(front[3:4, :], (4, 128)),
+            jnp.broadcast_to(popm.astype(jnp.float32), (4, 128)),
+        ],
+        axis=0,
+    )  # [8, 128] rows 0-3: plane-3 fields, rows 4-7: pop mask
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    q8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    halves_a, halves_b = [], []
+    for h in (0, 1):
+        # Output pixel p = h*128 + q (row-major in the 16x16 tile) lives in
+        # sub-tile (p // 64) * 4 + (p % 16) // 4; its packed source lane is
+        # subtile * 8 + field, which stays inside this half's 64-lane span.
+        sub_a = (q16 // 64) * 4 + (q16 % 16) // 4
+        idx_a = h * 64 + sub_a * 8 + (r16 % 8)
+        halves_a.append(jnp.take_along_axis(op_a, idx_a, axis=1))
+        sub_b = (q8 // 64) * 4 + (q8 % 16) // 4
+        idx_b = h * 64 + sub_b * 8 + jnp.minimum(r8, 1)
+        halves_b.append(jnp.take_along_axis(op_b, idx_b, axis=1))
+    wide_a = jnp.concatenate(halves_a, axis=1)               # [16, 256]
+    wide_b = jnp.concatenate(halves_b, axis=1)               # [8, 256]
+    rows = [wide_a[i:i + 1, :] for i in range(16)]
+    rows += [wide_b[0:1, :], wide_b[1:2, :]]                 # u1, u2
+    popm_wide = wide_b[4:5, :] > 0.5
+    return rows, popm_wide
+
+
 def _fwd_kernel(
     starts_ref, counts_ref, bg_ref, cam_ref,  # scalar prefetch
     payload_ref,                              # HBM [32, C_pad]
@@ -234,15 +379,21 @@ def _fwd_kernel(
     rounds = pl.cdiv(count, chunk)
     tx = t % grid_x
     ty = t // grid_x
-    pixf_x, pixf_y = _tile_pixels_sublanes(tx, ty)
 
     # Reset the persistent window scratch for this tile.
-    tail[...] = jnp.zeros((TAIL_F, kt, TILE_PIXELS))
-    tail[0] = jnp.full((kt, TILE_PIXELS), jnp.inf)
+    tail[...] = jnp.zeros((TAIL_PLANES, kt, 128))
+    tail[0] = jnp.full((kt, 128), jnp.inf)
     mid[...] = jnp.zeros((MID_F, km, TILE_PIXELS))
     mid[0] = jnp.full((km, TILE_PIXELS), jnp.inf)
     head[...] = jnp.zeros((HEAD_F, kh, TILE_PIXELS))
     head[0] = jnp.full((kh, TILE_PIXELS), jnp.inf)
+
+    # Per-pixel constants for the pop-time recompute (pixels on lanes).
+    plx, ply = _tile_pixels_lanes(tx, ty)
+    vdh = _view_rays(cam_ref, plx, ply, width, height)
+    qd_x = jnp.floor(plx / 2.0) * 2.0 + 0.5
+    qd_y = jnp.floor(ply / 2.0) * 2.0 + 0.5
+    vdm = _view_rays(cam_ref, qd_x, qd_y, width, height)
 
     def get_dma(slot, kk):
         offset = pl.multiple_of(start + kk * chunk, chunk)
@@ -267,7 +418,7 @@ def _fwd_kernel(
         return state, fh
 
     def push_mid(state, fm, fh, pop_t, e_t):
-        # e_t rows: key(d_tail), d_mid, d_head, a, r, g, b
+        # e_t rows: key(d_tail unused), d_mid, d_head, a, r, g, b
         pop_m = pop_t & (fm == km)
         new = [e_t[1], e_t[2], e_t[3], e_t[4], e_t[5], e_t[6]]
         e_m = _win_update(mid, MID_F, pop_m, pop_t, new)
@@ -275,23 +426,47 @@ def _fwd_kernel(
         fm = fm + pop_t.astype(jnp.int32) - pop_m.astype(jnp.int32)
         return state, fm, fh
 
+    def _ray_depth_rows(sc, vd):
+        """Same formula (and operation order) as _ray_depth, on [1, 256]
+        group-replicated scalar rows — bit-identical results."""
+        vdx, vdy, vdz = vd
+        ixx, ixy, ixz, iyy, iyz, izz = (sc[9 + i] for i in range(6))
+        u0, u1, u2 = sc[15], sc[16], sc[17]
+        num = u0 * vdx + u1 * vdy + u2 * vdz
+        den = (
+            ixx * vdx * vdx
+            + iyy * vdy * vdy
+            + izz * vdz * vdz
+            + 2.0 * (ixy * vdx * vdy + ixz * vdx * vdz + iyz * vdy * vdz)
+        )
+        return num / jnp.maximum(RAY_DEPTH_DEN_FLOOR, den)
+
+    def pop_cascade(state, fm, fh, front, pop_t):
+        """Unpack the popped tail entry, recompute its per-pixel values
+        (exactly the old intake math), and feed the mid/head cascade."""
+        rows, pop_wide = _unpack_popped(front, pop_t)
+        # rows: 0 x | 1 y | 2 ca | 3 cb | 4 cc | 5 opw | 6 r | 7 g | 8 b |
+        #       9..14 inv-cov | 15 u0 | 16 u1 | 17 u2
+        # Reorder to payload order for the ray-depth helper.
+        sc = rows[:9] + rows[9:15] + [rows[15], rows[16], rows[17]]
+        d_head = _ray_depth_rows(sc, vdh)
+        d_mid = _ray_depth_rows(sc, vdm)
+        dxp = sc[0] - plx
+        dyp = sc[1] - ply
+        factor = 0.5 * (sc[2] * dxp * dxp + sc[4] * dyp * dyp) + sc[3] * dxp * dyp
+        alpha = jnp.minimum(ALPHA_MAX, sc[5] * jnp.exp(-factor))
+        ok = (factor >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (d_head >= 0.0)
+        a_eff = jnp.where(ok, alpha, 0.0)
+        e_t = [None, d_mid, d_head, a_eff, sc[6], sc[7], sc[8]]
+        return push_mid(state, fm, fh, pop_wide, e_t)
+
     def consume(j, carry):
         state, ft, fm, fh = carry
-        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [8, 256] one load
-        a_j = row[0:1]
-        vt = row[4:5] > 0.5
+        stg = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [5, 128] one load
+        vt = stg[4:5] > 0.5
         pop_t = vt & (ft == kt)
-        new = [
-            row[1:2],  # key = d_tail
-            row[2:3],  # d_mid
-            row[3:4],  # d_head
-            a_j,
-            row[5:6],
-            row[6:7],
-            row[7:8],
-        ]
-        e_t = _win_update(tail, TAIL_F, pop_t, vt, new)
-        state, fm, fh = push_mid(state, fm, fh, pop_t, e_t)
+        front = _packed_win_update(tail, kt, pop_t, vt, stg)
+        state, fm, fh = pop_cascade(state, fm, fh, front, pop_t)
         ft = ft + vt.astype(jnp.int32) - pop_t.astype(jnp.int32)
         return state, ft, fm, fh
 
@@ -303,12 +478,13 @@ def _fwd_kernel(
             get_dma((kk + 1) % 2, kk + 1).start()
 
         get_dma(slot, kk).wait()
-        rows = _intake(
-            buf[slot], pixf_x, pixf_y, cam_ref, count - kk * chunk,
-            width, height, hier_4x4_culling,
+        rows = _intake_packed(
+            buf[slot], cam_ref, tx, ty, count - kk * chunk, width, height,
+            hier_4x4_culling,
         )
         for i, r in enumerate(rows):
-            ad_scr[i] = r.T
+            ad_scr[i] = r
+
         def quad(q, c):
             return jax.lax.fori_loop(
                 0, 4, lambda j, cc: consume(q * 4 + j, cc), c, unroll=4
@@ -318,6 +494,7 @@ def _fwd_kernel(
 
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
+    zi128 = jnp.zeros((1, 128), jnp.int32)
     zi = jnp.zeros((1, TILE_PIXELS), jnp.int32)
     state0 = (ones, zeros, zeros, zeros, zeros, zeros, zeros)
 
@@ -333,23 +510,29 @@ def _fwd_kernel(
         return kk + 1, body(kk, c)
 
     k_end, (state, ft, fm, fh) = jax.lax.while_loop(
-        rcond, rbody, (jnp.int32(0), (state0, zi, zi, zi))
+        rcond, rbody, (jnp.int32(0), (state0, zi128, zi, zi))
     )
 
     @pl.when(k_end < rounds)
     def _():
         get_dma(k_end % 2, k_end).wait()
 
-    inf_new_t = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (TAIL_F - 1)
+    inf_new_t = jnp.concatenate(
+        [
+            jnp.full((1, 128), jnp.inf),
+            jnp.zeros((PK_STAGE - 1, 128), jnp.float32),
+        ],
+        axis=0,
+    )
     inf_new_m = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (MID_F - 1)
 
     def drain_tail(_, carry):
         state, ft, fm, fh = carry
         pop_t = ft > 0
-        e_t = _win_update(
-            tail, TAIL_F, pop_t, jnp.zeros((1, TILE_PIXELS), bool), inf_new_t
+        front = _packed_win_update(
+            tail, kt, pop_t, jnp.zeros((1, 128), bool), inf_new_t
         )
-        state, fm, fh = push_mid(state, fm, fh, pop_t, e_t)
+        state, fm, fh = pop_cascade(state, fm, fh, front, pop_t)
         ft = ft - pop_t.astype(jnp.int32)
         return state, ft, fm, fh
 
@@ -437,8 +620,8 @@ def blend_hier_forward(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, KB_PAYLOAD_F, chunk), jnp.float32),
-            pltpu.VMEM((FWD_STAGE, chunk, TILE_PIXELS), jnp.float32),
-            pltpu.VMEM((TAIL_F, kt, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((PK_STAGE, chunk, 128), jnp.float32),
+            pltpu.VMEM((TAIL_PLANES, kt, 128), jnp.float32),
             pltpu.VMEM((MID_F, km, TILE_PIXELS), jnp.float32),
             pltpu.VMEM((HEAD_F, kh, TILE_PIXELS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
