@@ -355,14 +355,15 @@ def _unpack_popped(front, popm):
         idx_a = h * 64 + sub_a * 8 + (r16 % 8)
         halves_a.append(jnp.take_along_axis(op_a, idx_a, axis=1))
         sub_b = (q8 // 64) * 4 + (q8 % 16) // 4
-        idx_b = h * 64 + sub_b * 8 + jnp.minimum(r8, 1)
+        idx_b = h * 64 + sub_b * 8 + jnp.minimum(r8, 2)
         halves_b.append(jnp.take_along_axis(op_b, idx_b, axis=1))
     wide_a = jnp.concatenate(halves_a, axis=1)               # [16, 256]
     wide_b = jnp.concatenate(halves_b, axis=1)               # [8, 256]
     rows = [wide_a[i:i + 1, :] for i in range(16)]
     rows += [wide_b[0:1, :], wide_b[1:2, :]]                 # u1, u2
+    src_row = wide_b[2:3, :]                                 # plane-3 f2
     popm_wide = wide_b[4:5, :] > 0.5
-    return rows, popm_wide
+    return rows, src_row, popm_wide
 
 
 def _fwd_kernel(
@@ -444,7 +445,7 @@ def _fwd_kernel(
     def pop_cascade(state, fm, fh, front, pop_t):
         """Unpack the popped tail entry, recompute its per-pixel values
         (exactly the old intake math), and feed the mid/head cascade."""
-        rows, pop_wide = _unpack_popped(front, pop_t)
+        rows, _, pop_wide = _unpack_popped(front, pop_t)
         # rows: 0 x | 1 y | 2 ca | 3 cb | 4 cc | 5 opw | 6 r | 7 g | 8 b |
         #       9..14 inv-cov | 15 u0 | 16 u1 | 17 u2
         # Reorder to payload order for the ray-depth helper.
@@ -649,11 +650,11 @@ def blend_hier_forward(
 # (kbuffer_blend.py). Depth keys get no gradient (discrete resort), matching
 # the reference.
 
-# Backward window layouts (leading row = sort key):
-TAIL_B = 14  # key, d_mid, d_head, a, r, g, b, x, y, ca, cb, cc, opw, src
+# Backward window layouts. The tail uses the same packed planes as the
+# forward (TAIL_PLANES x [kt, 128], with the stream position folded into
+# plane-3 field 2); mid/head stay per-pixel with the leading row the key:
 MID_B = 13   # key(d_mid), d_head, a, r, g, b, x, y, ca, cb, cc, opw, src
 HEAD_B = 12  # key(d_head), a, r, g, b, x, y, ca, cb, cc, opw, src
-BWD_STAGE = 14  # a, dt, dm, dh, vt, r, g, b, x, y, ca, cb, cc, opw
 GRAD_ROWS = 16
 
 
@@ -689,13 +690,20 @@ def _bwd_kernel(
         + (fw[2:3, :] - T_final * bg_ref[2]) * g_b
     )
 
-    tail[...] = jnp.zeros((TAIL_B, kt, TILE_PIXELS))
-    tail[0] = jnp.full((kt, TILE_PIXELS), jnp.inf)
+    tail[...] = jnp.zeros((TAIL_PLANES, kt, 128))
+    tail[0] = jnp.full((kt, 128), jnp.inf)
     mid[...] = jnp.zeros((MID_B, km, TILE_PIXELS))
     mid[0] = jnp.full((km, TILE_PIXELS), jnp.inf)
     head[...] = jnp.zeros((HEAD_B, kh, TILE_PIXELS))
     head[0] = jnp.full((kh, TILE_PIXELS), jnp.inf)
     dseg[...] = jnp.zeros((GRAD_ROWS, seg_cap), jnp.float32)
+
+    # Per-pixel constants for the pop-time recompute (pixels on lanes).
+    vdh = _view_rays(cam_ref, plx, ply, width, height)
+    qd_x = jnp.floor(plx / 2.0) * 2.0 + 0.5
+    qd_y = jnp.floor(ply / 2.0) * 2.0 + 0.5
+    vdm = _view_rays(cam_ref, qd_x, qd_y, width, height)
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) % 8
 
     def get_dma(slot, kk):
         offset = pl.multiple_of(start + kk * chunk, chunk)
@@ -793,32 +801,48 @@ def _bwd_kernel(
         fm = fm + pop_t.astype(jnp.int32) - pop_m.astype(jnp.int32)
         return state, fm, fh
 
+    def _ray_depth_rows(sc, vd):
+        """Same formula (and operation order) as _ray_depth, on [1, 256]
+        group-replicated scalar rows — bit-identical results."""
+        vdx, vdy, vdz = vd
+        ixx, ixy, ixz, iyy, iyz, izz = (sc[9 + i] for i in range(6))
+        num = sc[15] * vdx + sc[16] * vdy + sc[17] * vdz
+        den = (
+            ixx * vdx * vdx
+            + iyy * vdy * vdy
+            + izz * vdz * vdz
+            + 2.0 * (ixy * vdx * vdy + ixz * vdx * vdz + iyz * vdy * vdz)
+        )
+        return num / jnp.maximum(RAY_DEPTH_DEN_FLOOR, den)
+
+    def pop_cascade(state, fm, fh, front, pop_t):
+        """Unpack + recompute the popped tail entry (exact intake math),
+        then feed the mid/head cascade with its 13 backward fields."""
+        sc, src_row, pop_wide = _unpack_popped(front, pop_t)
+        d_head = _ray_depth_rows(sc, vdh)
+        d_mid = _ray_depth_rows(sc, vdm)
+        dxp = sc[0] - plx
+        dyp = sc[1] - ply
+        factor = 0.5 * (sc[2] * dxp * dxp + sc[4] * dyp * dyp) + sc[3] * dxp * dyp
+        alpha = jnp.minimum(ALPHA_MAX, sc[5] * jnp.exp(-factor))
+        ok = (factor >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (d_head >= 0.0)
+        a_eff = jnp.where(ok, alpha, 0.0)
+        e_t = [None, d_mid, d_head, a_eff, sc[6], sc[7], sc[8],
+               sc[0], sc[1], sc[2], sc[3], sc[4], sc[5], src_row]
+        return push_mid(state, fm, fh, pop_wide, e_t)
+
     def consume(j, carry, base):
         state, ft, fm, fh = carry
-        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [14, 256] one load
-        vt = row[4:5] > 0.5
+        stg = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [5, 128] one load
+        vt = stg[4:5] > 0.5
         pop_t = vt & (ft == kt)
-        srcv = (
-            jnp.zeros((1, TILE_PIXELS), jnp.float32) + (base + j)
+        # Fold the stream position into plane-3 field 2 (exact below 2^24).
+        v3 = jnp.where(
+            lane_f == 2, jnp.float32(0.0) + (base + j), stg[3:4]
         )
-        new = [
-            row[1:2],    # key = d_tail
-            row[2:3],    # d_mid
-            row[3:4],    # d_head
-            row[0:1],    # a
-            row[5:6],    # r
-            row[6:7],    # g
-            row[7:8],    # b
-            row[8:9],    # x
-            row[9:10],   # y
-            row[10:11],  # ca
-            row[11:12],  # cb
-            row[12:13],  # cc
-            row[13:14],  # opw
-            srcv,        # src (as float; exact below 2^24)
-        ]
-        e_t = _win_update(tail, TAIL_B, pop_t, vt, new)
-        state, fm, fh = push_mid(state, fm, fh, pop_t, e_t)
+        new = jnp.concatenate([stg[0:3], v3], axis=0)
+        front = _packed_win_update(tail, kt, pop_t, vt, new)
+        state, fm, fh = pop_cascade(state, fm, fh, front, pop_t)
         ft = ft + vt.astype(jnp.int32) - pop_t.astype(jnp.int32)
         return state, ft, fm, fh
 
@@ -830,18 +854,13 @@ def _bwd_kernel(
             get_dma((kk + 1) % 2, kk + 1).start()
 
         get_dma(slot, kk).wait()
-        data = buf[slot]
-        rows = _intake(
-            data, pixf_x, pixf_y, cam_ref, count - kk * chunk,
-            width, height, hier_4x4_culling,
+        rows = _intake_packed(
+            buf[slot], cam_ref, tx, ty, count - kk * chunk, width, height,
+            hier_4x4_culling,
         )
         for i, r in enumerate(rows):
-            ad_scr[i] = r.T
-        feat_rows = (0, 1, 2, 3, 4, 5)  # x y ca cb cc opw
-        for i, f in enumerate(feat_rows):
-            ad_scr[8 + i] = jnp.broadcast_to(
-                data[f:f + 1, :].T, (chunk, TILE_PIXELS)
-            )
+            ad_scr[i] = r
+
         def quad(q, c):
             return jax.lax.fori_loop(
                 0, 4,
@@ -854,6 +873,7 @@ def _bwd_kernel(
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
     zi = jnp.zeros((1, TILE_PIXELS), jnp.int32)
+    zi128 = jnp.zeros((1, 128), jnp.int32)
     state0 = (ones, zeros, zeros)  # T, acc.g, done
 
     # Round-level early termination mirroring the forward (dseg was
@@ -867,22 +887,30 @@ def _bwd_kernel(
         return kk + 1, body(kk, c)
 
     k_end, (state, ft, fm, fh) = jax.lax.while_loop(
-        rcond, rbody, (jnp.int32(0), (state0, zi, zi, zi))
+        rcond, rbody, (jnp.int32(0), (state0, zi128, zi, zi))
     )
 
     @pl.when(k_end < rounds)
     def _():
         get_dma(k_end % 2, k_end).wait()
 
-    inf_new_t = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (TAIL_B - 1)
+    inf_new_t = jnp.concatenate(
+        [
+            jnp.full((1, 128), jnp.inf),
+            jnp.zeros((PK_STAGE - 1, 128), jnp.float32),
+        ],
+        axis=0,
+    )
     inf_new_m = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (MID_B - 1)
     nomask = jnp.zeros((1, TILE_PIXELS), bool)
 
     def drain_tail(_, carry):
         state, ft, fm, fh = carry
         pop_t = ft > 0
-        e_t = _win_update(tail, TAIL_B, pop_t, nomask, inf_new_t)
-        state, fm, fh = push_mid(state, fm, fh, pop_t, e_t)
+        front = _packed_win_update(
+            tail, kt, pop_t, jnp.zeros((1, 128), bool), inf_new_t
+        )
+        state, fm, fh = pop_cascade(state, fm, fh, front, pop_t)
         ft = ft - pop_t.astype(jnp.int32)
         return state, ft, fm, fh
 
@@ -977,8 +1005,8 @@ def blend_hier_backward(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, KB_PAYLOAD_F, chunk), jnp.float32),
-            pltpu.VMEM((BWD_STAGE, chunk, TILE_PIXELS), jnp.float32),
-            pltpu.VMEM((TAIL_B, kt, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((PK_STAGE, chunk, 128), jnp.float32),
+            pltpu.VMEM((TAIL_PLANES, kt, 128), jnp.float32),
             pltpu.VMEM((MID_B, km, TILE_PIXELS), jnp.float32),
             pltpu.VMEM((HEAD_B, kh, TILE_PIXELS), jnp.float32),
             pltpu.VMEM((GRAD_ROWS, seg_cap), jnp.float32),
