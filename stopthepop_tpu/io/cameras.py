@@ -125,3 +125,31 @@ def to_camera_arrays(cam: DatasetCamera):
         inv_viewprojmatrix=jnp.asarray(cam.inv_viewprojmatrix),
         campos=jnp.asarray(cam.campos),
     )
+
+
+def orbit_camera(
+    theta: float,
+    fovx: float,
+    width: int,
+    height: int,
+    radius: float = 4.0,
+    cam_height: float = 0.5,
+    target=(0.0, 0.0, 0.0),
+) -> DatasetCamera:
+    """Camera orbiting ``target`` at ``radius``, looking inward (OpenGL
+    camera-to-world built from a look-at frame, then converted like the
+    Blender loader)."""
+    target = np.asarray(target, np.float64)
+    pos = target + np.array(
+        [radius * math.sin(theta), cam_height, radius * math.cos(theta)]
+    )
+    forward = target - pos
+    forward = forward / np.linalg.norm(forward)
+    z = -forward  # OpenGL camera looks down -z
+    up = np.array([0.0, 1.0, 0.0])
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, pos
+    return camera_from_c2w(c2w, fovx, width, height)
