@@ -278,6 +278,10 @@ def main(argv=None):
             n = int(active.sum())
             print(f"iter {it:6d}  loss {loss:.4f}  gaussians {n:7d}  "
                   f"({(time.time() - t0):.1f}s)", flush=True)
+            if bool(aux.get("overflow", False)):
+                print(f"iter {it:6d}  WARNING: pair buffer overflow — "
+                      "raise --pair-capacity (image under-rendered)",
+                      flush=True)
         if it % args.eval_every == 0:
             print(f"iter {it:6d}  eval PSNR {evaluate():.2f} dB", flush=True)
         if args.checkpoint_dir and it % args.checkpoint_every == 0:
