@@ -181,6 +181,72 @@ def make_train_step(
     return train_step
 
 
+def make_batched_train_step(
+    optimizer,
+    *,
+    static: GaussianRasterizationSettings,
+    lambda_dssim: float = 0.2,
+    pair_capacity: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Like make_train_step, but over a BATCH of cameras per step.
+
+    ``cams`` leaves and ``targets`` carry a leading batch axis; the loss is
+    the mean over cameras (gradients are the exact mean of per-camera
+    gradients — jax.vmap maps the whole pipeline, Pallas kernels included,
+    by fronting the batch onto the kernel grids). Densify stats accumulate
+    per-camera visibility/gradients summed over the batch, scaled like B
+    single-camera steps. Single-GPU 3DGS trainers step one camera at a
+    time; batching amortizes the per-step fixed costs on TPU and is the
+    natural multi-view objective.
+    """
+
+    def train_step(state: TrainState, cams: CameraArrays, targets, stats):
+        P = state.model.num_gaussians
+        means2d_dummy = jnp.zeros((P, 2), jnp.float32)
+
+        def one(model, m2d, cam, target):
+            out = render_model(
+                model, cam, static=static, means2d_dummy=m2d,
+                pair_capacity=pair_capacity, interpret=interpret,
+                full_output=True,
+            )
+            loss = rgb_loss(out.color, target, lambda_dssim)
+            return loss, (out.radii, out.overflow)
+
+        def loss_fn(model, m2d):
+            losses, (radii, overflow) = jax.vmap(
+                lambda c, t: one(model, m2d, c, t)
+            )(cams, targets)
+            return jnp.mean(losses), (radii, overflow)
+
+        (loss, (radii, overflow)), (grads, g2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.model, means2d_dummy)
+
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.model)
+        new_model = optax.apply_updates(state.model, updates)
+        new_state = TrainState(new_model, new_opt, state.step + 1)
+
+        visible = radii > 0                      # [B, P]
+        g2d_norm = jnp.linalg.norm(g2d, axis=-1)  # [P] (mean over batch)
+        n_vis = jnp.sum(visible, axis=0)
+        B = radii.shape[0]
+        new_stats = DensifyStats(
+            # g2d is the batch MEAN gradient; accumulate it scaled back to
+            # per-camera magnitude so thresholds match the unbatched path.
+            grad2d_accum=stats.grad2d_accum
+            + jnp.where(n_vis > 0, g2d_norm * B, 0.0),
+            denom=stats.denom + n_vis.astype(jnp.int32),
+            max_radii=jnp.maximum(stats.max_radii, jnp.max(radii, axis=0)),
+        )
+        return new_state, new_stats, {
+            "loss": loss, "overflow": jnp.any(overflow)
+        }
+
+    return train_step
+
+
 def init_train_state(model: GaussianModel, optimizer) -> TrainState:
     return TrainState(model, optimizer.init(model), jnp.int32(0))
 

@@ -90,3 +90,38 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = load_checkpoint(path, state)
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_batched_train_step_matches_mean_of_grads():
+    from stopthepop_tpu.train.trainer import make_batched_train_step
+
+    size = 32
+    cam1 = make_camera(size, size, campos=(0.0, 0.0, -4.0))
+    cam2 = make_camera(size, size, campos=(0.4, 0.1, -4.0))
+    static = _static(cam1, size)
+    model = init_random(jax.random.PRNGKey(0), 96)
+    optimizer = make_optimizer(1e-3)
+    state = init_train_state(model, optimizer)
+    stats = init_densify_stats(96)
+    cams = CameraArrays(
+        jnp.stack([cam1.viewmatrix, cam2.viewmatrix]),
+        jnp.stack([cam1.projmatrix, cam2.projmatrix]),
+        jnp.stack([cam1.inv_viewprojmatrix, cam2.inv_viewprojmatrix]),
+        jnp.stack([cam1.campos, cam2.campos]),
+    )
+    targets = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, size, size))
+    step = jax.jit(make_batched_train_step(
+        optimizer, static=static, pair_capacity=4096, interpret=True))
+    new_state, new_stats, aux = step(state, cams, targets, stats)
+    assert np.isfinite(float(aux["loss"]))
+    assert not bool(aux["overflow"])
+    # Params moved and stats accumulated over both cameras.
+    assert float(jnp.abs(new_state.model.means3d - model.means3d).max()) > 0
+    assert int(new_stats.denom.max()) <= 2
+    assert int(new_stats.denom.max()) >= 1
+
+    losses = []
+    for _ in range(3):
+        new_state, new_stats, aux = step(new_state, cams, targets, new_stats)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0]
