@@ -127,7 +127,7 @@ def config2():
 
 
 def config3():
-    """Garden scale: 2M Gaussians at 1080p, GLOBAL with full culling."""
+    """Garden scale: 2M Gaussians at 1080p, GLOBAL (default settings)."""
     bench_mode(3, "GLOBAL fwd", 1920, 1080, 2_000_000, -2.8,
                6_000_000, SortMode.GLOBAL, False, 3)
     bench_mode(3, "GLOBAL fwd+bwd", 1920, 1080, 2_000_000, -2.8,
