@@ -139,6 +139,46 @@ def to_arrays(cam) -> CameraArrays:
     )
 
 
+def estimate_pair_capacity(model, cams, static, gauss_capacity: int,
+                           n_probe: int = 8, headroom: float = 1.5) -> int:
+    """Size the static pair buffer from measured per-view pair counts.
+
+    Replaces the blind 16*P default: run preprocess over a few cameras,
+    take the worst observed (Gaussian, tile) pair count, scale it by the
+    model-capacity growth factor (densification multiplies the primitive
+    count; per-primitive footprint stays roughly constant) plus headroom,
+    and round to the 128-pair DMA alignment. Overflow is still detected at
+    runtime (the trainer warns), so this is a sizing aid, not a guarantee.
+    """
+    from ..render.preprocess import preprocess
+
+    ext = static.settings
+    worst = 0
+    step = max(1, len(cams) // n_probe)
+    for cam in cams[::step][:n_probe]:
+        prep = preprocess(
+            model.means3d, model.opacities(),
+            scales=model.scales(), rotations=model.rotations_normalized(),
+            shs=model.shs(),
+            viewmatrix=jnp.asarray(cam.viewmatrix),
+            projmatrix=jnp.asarray(cam.projmatrix),
+            campos=jnp.asarray(cam.campos),
+            tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            image_width=cam.width, image_height=cam.height,
+            sh_degree=0,
+            sort_order=ext.sort_settings.sort_order,
+            rect_bounding=ext.culling_settings.rect_bounding,
+            tight_opacity_bounding=ext.culling_settings.tight_opacity_bounding,
+            proper_ewa_scaling=ext.proper_ewa_scaling,
+        )
+        worst = max(worst, int(jnp.sum(prep.tiles_touched)))
+    n_active = model.num_gaussians
+    growth = max(1.0, gauss_capacity / max(n_active, 1))
+    cap = int(worst * growth * headroom)
+    cap = max(cap, 1 << 14)
+    return (cap + 127) // 128 * 128
+
+
 def init_model(rng: np.random.Generator, n_points: int, extent: float,
                sh_degree: int):
     """Random-in-box init, as the upstream trainer does for Blender scenes."""
@@ -214,10 +254,17 @@ def main(argv=None):
     else:
         model = init_model(rng, args.init_points, args.scene_extent,
                            args.sh_degree)
-    model, active = grow_capacity(model, args.capacity)
 
     static = make_static_settings(cams[0], bg, args.sh_degree,
                                   SortMode[args.sort_mode])
+    if args.pair_capacity is None:
+        # Estimate on the raw init model (pre-capacity-padding) so the
+        # growth factor reflects real active primitives.
+        args.pair_capacity = estimate_pair_capacity(
+            model, cams, static, args.capacity)
+        print(f"pair capacity auto-sized to {args.pair_capacity}", flush=True)
+
+    model, active = grow_capacity(model, args.capacity)
     optimizer = make_3dgs_optimizer(spatial_lr_scale=args.scene_extent,
                                     position_lr_max_steps=args.iters)
     state = init_train_state(model, optimizer)

@@ -139,3 +139,19 @@ def test_cli_trains_on_colmap_dataset(tmp_path):
     ])
     assert int(state.step) == 10
     assert np.all(np.isfinite(np.asarray(state.model.means3d)))
+
+
+def test_cli_auto_pair_capacity(tmp_path):
+    """No --pair-capacity: the CLI sizes the buffer from measured counts."""
+    root = str(tmp_path / "scene2")
+    _make_dataset(root, n_frames=2)
+    state = cli.main([
+        "--data", root, "--iters", "4", "--capacity", "64",
+        "--init-points", "20", "--sh-degree", "0",
+        "--sort-mode", "GLOBAL",
+        "--densify-from", "1000",
+        "--eval-every", "10", "--eval-frames", "1",
+        "--interpret", "--scene-extent", "1.5",
+    ])
+    assert int(state.step) == 4
+    assert np.all(np.isfinite(np.asarray(state.model.means3d)))
