@@ -760,6 +760,10 @@ def _bwd_kernel(
         )
 
         src = e_h[11].astype(jnp.int32)
+        # (An any-commit pl.when guard around the routing measured net
+        # negative here — hier head-pops commit often enough that the
+        # scalar reduce costs more than the skipped work; the k-buffer
+        # backward, with sparser commits per pop, keeps the guard.)
         route = commit & (src >= 0) & (src < seg_cap)
         chunk_id = jnp.where(route, src // chunk, 0)
         cmin = jnp.min(jnp.where(route, chunk_id, max_route))

@@ -456,27 +456,34 @@ def _bwd_kernel(
         )  # [16, 256]
 
         src = win["src"][0:1]  # [1, 256] int32 segment-local pair index
-        route = commit & (src >= 0) & (src < seg_cap)
-        chunk_id = jnp.where(route, src // chunk, 0)
-        cmin = jnp.min(jnp.where(route, chunk_id, max_route))
-        cmax = jnp.max(jnp.where(route, chunk_id, -1))
 
-        def route_chunk(r, _):
-            sel = route & (chunk_id == r)
-            colm = jnp.where(sel, src - r * chunk, -1)  # [1, 256]
-            col_t = colm.T  # [256, 1]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, chunk), 1)
-            onehot = (col_t == lane).astype(jnp.float32)  # [256, CH]
-            dchunk = jax.lax.dot_general(
-                gradfeat, onehot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [16, CH]
-            off = pl.multiple_of(r * chunk, chunk)
-            dseg[:, pl.ds(off, chunk)] += dchunk
-            return 0
+        # Routing is side-effect-only (dseg) — skip it entirely for pops
+        # where no pixel commits (window fill, post-saturation).
+        @pl.when(jnp.any(commit))
+        def _():
+            route = commit & (src >= 0) & (src < seg_cap)
+            chunk_id = jnp.where(route, src // chunk, 0)
+            cmin = jnp.min(jnp.where(route, chunk_id, max_route))
+            cmax = jnp.max(jnp.where(route, chunk_id, -1))
 
-        jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
+            def route_chunk(r, _):
+                sel = route & (chunk_id == r)
+                colm = jnp.where(sel, src - r * chunk, -1)  # [1, 256]
+                col_t = colm.T  # [256, 1]
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (TILE_PIXELS, chunk), 1
+                )
+                onehot = (col_t == lane).astype(jnp.float32)  # [256, CH]
+                dchunk = jax.lax.dot_general(
+                    gradfeat, onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [16, CH]
+                off = pl.multiple_of(r * chunk, chunk)
+                dseg[:, pl.ds(off, chunk)] += dchunk
+                return 0
+
+            jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
 
         T = jnp.where(commit, U, T)
         nc = nc + commit.astype(jnp.float32)
