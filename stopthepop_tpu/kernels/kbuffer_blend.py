@@ -429,38 +429,40 @@ def _bwd_kernel(
         w = jnp.where(commit, a0 * T, 0.0)
         acc_g = acc_g + w * cdotg
         suffix = ctot_g - acc_g
-        galpha = jnp.where(
-            commit & (a0 < ALPHA_MAX),
-            cdotg * T - (suffix + KT) / (1.0 - a0),
-            0.0,
-        )
-        dxp = win["x"][0:1] - plx
-        dyp = win["y"][0:1] - ply
-        ca0, cb0, cc0 = win["ca"][0:1], win["cb"][0:1], win["cc"][0:1]
-        dfactor = -a0 * galpha
-        grad_rows = [
-            dfactor * (ca0 * dxp + cb0 * dyp),
-            dfactor * (cc0 * dyp + cb0 * dxp),
-            dfactor * 0.5 * dxp * dxp,
-            dfactor * dxp * dyp,
-            dfactor * 0.5 * dyp * dyp,
-            galpha * a0 / jnp.maximum(win["opw"][0:1], 1e-12),
-            w * g_r,
-            w * g_g,
-            w * g_b,
-        ]
-        gradfeat = jnp.concatenate(
-            grad_rows
-            + [jnp.zeros((GRAD_ROWS - len(grad_rows), TILE_PIXELS))],
-            axis=0,
-        )  # [16, 256]
-
         src = win["src"][0:1]  # [1, 256] int32 segment-local pair index
+        win_x, win_y = win["x"][0:1], win["y"][0:1]
+        ca0, cb0, cc0 = win["ca"][0:1], win["cb"][0:1], win["cc"][0:1]
+        opw0 = win["opw"][0:1]
 
-        # Routing is side-effect-only (dseg) — skip it entirely for pops
-        # where no pixel commits (window fill, post-saturation).
+        # Gradient emission + routing is side-effect-only (dseg) — skip it
+        # entirely for pops where no pixel commits (window fill,
+        # post-saturation).
         @pl.when(jnp.any(commit))
         def _():
+            galpha = jnp.where(
+                commit & (a0 < ALPHA_MAX),
+                cdotg * T - (suffix + KT) / (1.0 - a0),
+                0.0,
+            )
+            dxp = win_x - plx
+            dyp = win_y - ply
+            dfactor = -a0 * galpha
+            grad_rows = [
+                dfactor * (ca0 * dxp + cb0 * dyp),
+                dfactor * (cc0 * dyp + cb0 * dxp),
+                dfactor * 0.5 * dxp * dxp,
+                dfactor * dxp * dyp,
+                dfactor * 0.5 * dyp * dyp,
+                galpha * a0 / jnp.maximum(opw0, 1e-12),
+                w * g_r,
+                w * g_g,
+                w * g_b,
+            ]
+            gradfeat = jnp.concatenate(
+                grad_rows
+                + [jnp.zeros((GRAD_ROWS - len(grad_rows), TILE_PIXELS))],
+                axis=0,
+            )  # [16, 256]
             route = commit & (src >= 0) & (src < seg_cap)
             chunk_id = jnp.where(route, src // chunk, 0)
             cmin = jnp.min(jnp.where(route, chunk_id, max_route))
