@@ -43,6 +43,8 @@ class RenderOutput(NamedTuple):
     n_contrib: jnp.ndarray  # [H, W] int32
     overflow: jnp.ndarray   # [] bool — pair buffer overflow indicator
     depth_acc: jnp.ndarray = None  # [H, W] sum(w * depth) accumulator
+    grad_overflow: jnp.ndarray = None  # [] bool — a tile exceeds seg_cap, so
+    # the resort-mode backward would truncate that tile's pair gradients
 
 
 def default_pair_capacity(num_gaussians: int) -> int:
@@ -104,6 +106,7 @@ def _rasterize_impl(
     raster_settings: GaussianRasterizationSettings,
     *,
     pair_capacity: Optional[int] = None,
+    seg_cap: int = 16384,
     chunk: int = 128,
     interpret: bool = False,
     full_output: bool = False,
@@ -132,6 +135,26 @@ def _rasterize_impl(
     scales = none_if_empty(scales)
     rotations = none_if_empty(rotations)
     cov3Ds_precomp = none_if_empty(cov3Ds_precomp)
+
+    if rs.prefiltered:
+        # The reference __trap()s when a point violates the prefiltered
+        # contract (auxiliary.h:228-232). Here the violation raises on the
+        # host via a debug callback (works under jit; costs one [P]-bool
+        # transfer, only on the opt-in prefiltered path).
+        visible = mark_visible(means3D, rs.viewmatrix, rs.projmatrix)
+
+        def _check_prefiltered(v):
+            import numpy as np
+
+            if not np.asarray(v).all():
+                raise RuntimeError(
+                    "prefiltered=True but some points lie outside the view "
+                    "frustum (the reference traps on this contract "
+                    "violation, auxiliary.h:228-232). Run markVisible and "
+                    "filter, or pass prefiltered=False."
+                )
+
+        jax.debug.callback(_check_prefiltered, visible)
 
     prep = preprocess(
         means3D,
@@ -203,6 +226,7 @@ def _rasterize_impl(
             k=int(ext.sort_settings.queue_sizes.per_pixel),
             sort_order=sort_order,
             tile_based_culling=ext.culling_settings.tile_based_culling,
+            seg_cap=seg_cap,
             interpret=interpret,
         )
         overflow = pairs.overflow
@@ -220,6 +244,7 @@ def _rasterize_impl(
             sort_order=sort_order,
             tile_based_culling=ext.culling_settings.tile_based_culling,
             hier_4x4_culling=ext.culling_settings.hierarchical_4x4_culling,
+            seg_cap=seg_cap,
             interpret=interpret,
         )
         overflow = pairs.overflow
@@ -250,8 +275,18 @@ def _rasterize_impl(
         )
 
     if full_output:
+        # Resort-mode backwards truncate per-tile pair gradients past
+        # seg_cap; surface that as a flag (the pair-buffer overflow's
+        # sibling) instead of failing silently.
+        if pairs is not None and sort_mode in (
+            SortMode.PPX_KBUFFER, SortMode.HIER
+        ):
+            grad_overflow = jnp.any((pairs.ends - pairs.starts) > seg_cap)
+        else:
+            grad_overflow = jnp.array(False)
         return RenderOutput(
-            color, prep.radii, final_t, n_contrib, overflow, depth_acc
+            color, prep.radii, final_t, n_contrib, overflow, depth_acc,
+            grad_overflow,
         )
     return color, prep.radii
 

@@ -140,7 +140,7 @@ def to_arrays(cam) -> CameraArrays:
 
 
 def estimate_pair_capacity(model, cams, static, gauss_capacity: int,
-                           n_probe: int = 8, headroom: float = 1.5) -> int:
+                           n_probe: int = 8, headroom: float = 1.5):
     """Size the static pair buffer from measured per-view pair counts.
 
     Replaces the blind 16*P default: run preprocess over a few cameras,
@@ -149,11 +149,19 @@ def estimate_pair_capacity(model, cams, static, gauss_capacity: int,
     count; per-primitive footprint stays roughly constant) plus headroom,
     and round to the 128-pair DMA alignment. Overflow is still detected at
     runtime (the trainer warns), so this is a sizing aid, not a guarantee.
+
+    Returns ``(pair_capacity, seg_cap)``: seg_cap is the worst observed
+    single-tile pair count (scaled the same way, 128-aligned) — the bound
+    the resort-mode backward kernels truncate per-tile gradients at, sized
+    here so they don't.
     """
+    from ..render.duplicate import rect_histogram
+    from ..render.pipeline import tile_grid
     from ..render.preprocess import preprocess
 
     ext = static.settings
     worst = 0
+    worst_tile = 0
     step = max(1, len(cams) // n_probe)
     for cam in cams[::step][:n_probe]:
         prep = preprocess(
@@ -172,11 +180,16 @@ def estimate_pair_capacity(model, cams, static, gauss_capacity: int,
             proper_ewa_scaling=ext.proper_ewa_scaling,
         )
         worst = max(worst, int(jnp.sum(prep.tiles_touched)))
+        gx, gy = tile_grid(cam.width, cam.height)
+        worst_tile = max(
+            worst_tile, int(jnp.max(rect_histogram(prep, gx, gy)))
+        )
     n_active = model.num_gaussians
     growth = max(1.0, gauss_capacity / max(n_active, 1))
     cap = int(worst * growth * headroom)
     cap = max(cap, 1 << 14)
-    return (cap + 127) // 128 * 128
+    seg = max(int(worst_tile * growth * headroom), 1 << 11)
+    return (cap + 127) // 128 * 128, (seg + 127) // 128 * 128
 
 
 def init_model(rng: np.random.Generator, n_points: int, extent: float,
@@ -202,6 +215,9 @@ def main(argv=None):
     ap.add_argument("--sort-mode", default="HIER",
                     choices=[m.name for m in SortMode])
     ap.add_argument("--pair-capacity", type=int, default=None)
+    ap.add_argument("--seg-cap", type=int, default=None,
+                    help="per-tile pair bound for resort-mode backward "
+                    "gradient buffers (auto-sized from a probe by default)")
     ap.add_argument("--scene-extent", type=float, default=1.3,
                     help="NeRF-synthetic cameras orbit radius ~4, object ~1.3")
     ap.add_argument("--densify-from", type=int, default=500)
@@ -257,12 +273,17 @@ def main(argv=None):
 
     static = make_static_settings(cams[0], bg, args.sh_degree,
                                   SortMode[args.sort_mode])
-    if args.pair_capacity is None:
+    if args.pair_capacity is None or args.seg_cap is None:
         # Estimate on the raw init model (pre-capacity-padding) so the
         # growth factor reflects real active primitives.
-        args.pair_capacity = estimate_pair_capacity(
+        pair_cap, seg_cap = estimate_pair_capacity(
             model, cams, static, args.capacity)
-        print(f"pair capacity auto-sized to {args.pair_capacity}", flush=True)
+        if args.pair_capacity is None:
+            args.pair_capacity = pair_cap
+        if args.seg_cap is None:
+            args.seg_cap = seg_cap
+        print(f"pair capacity auto-sized to {args.pair_capacity}, "
+              f"seg_cap to {args.seg_cap}", flush=True)
 
     model, active = grow_capacity(model, args.capacity)
     optimizer = make_3dgs_optimizer(spatial_lr_scale=args.scene_extent,
@@ -271,7 +292,7 @@ def main(argv=None):
     stats = init_densify_stats(args.capacity)
     step_fn = jax.jit(make_train_step(
         optimizer, static=static, pair_capacity=args.pair_capacity,
-        interpret=args.interpret,
+        seg_cap=args.seg_cap, interpret=args.interpret,
     ))
     cam_arrays = [to_arrays(c) for c in cams]
     targets = jnp.asarray(targets)
@@ -328,6 +349,10 @@ def main(argv=None):
             if bool(aux.get("overflow", False)):
                 print(f"iter {it:6d}  WARNING: pair buffer overflow — "
                       "raise --pair-capacity (image under-rendered)",
+                      flush=True)
+            if bool(aux.get("grad_overflow", False)):
+                print(f"iter {it:6d}  WARNING: a tile exceeds seg_cap — "
+                      "raise --seg-cap (pair gradients truncated)",
                       flush=True)
         if it % args.eval_every == 0:
             print(f"iter {it:6d}  eval PSNR {evaluate():.2f} dB", flush=True)

@@ -144,6 +144,7 @@ def make_train_step(
     static: GaussianRasterizationSettings,
     lambda_dssim: float = 0.2,
     pair_capacity: Optional[int] = None,
+    seg_cap: int = 16384,
     interpret: bool = False,
 ):
     """Returns jittable (state, cam, target, stats) -> (state, stats, aux)."""
@@ -155,15 +156,16 @@ def make_train_step(
         def loss_fn(model, m2d):
             out = render_model(
                 model, cam, static=static, means2d_dummy=m2d,
-                pair_capacity=pair_capacity, interpret=interpret,
-                full_output=True,
+                pair_capacity=pair_capacity, seg_cap=seg_cap,
+                interpret=interpret, full_output=True,
             )
             loss = rgb_loss(out.color, target, lambda_dssim)
-            return loss, (out.radii, out.overflow)
+            return loss, (out.radii, out.overflow, out.grad_overflow)
 
-        (loss, (radii, overflow)), (grads, g2d) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(state.model, means2d_dummy)
+        (loss, (radii, overflow, grad_overflow)), (grads, g2d) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+            (state.model, means2d_dummy)
+        )
 
         updates, new_opt = optimizer.update(grads, state.opt_state, state.model)
         new_model = optax.apply_updates(state.model, updates)
@@ -176,7 +178,10 @@ def make_train_step(
             denom=stats.denom + visible.astype(jnp.int32),
             max_radii=jnp.maximum(stats.max_radii, radii),
         )
-        return new_state, new_stats, {"loss": loss, "overflow": overflow}
+        return new_state, new_stats, {
+            "loss": loss, "overflow": overflow,
+            "grad_overflow": grad_overflow,
+        }
 
     return train_step
 
@@ -187,6 +192,7 @@ def make_batched_train_step(
     static: GaussianRasterizationSettings,
     lambda_dssim: float = 0.2,
     pair_capacity: Optional[int] = None,
+    seg_cap: int = 16384,
     interpret: bool = False,
 ):
     """Like make_train_step, but over a BATCH of cameras per step.
@@ -212,8 +218,8 @@ def make_batched_train_step(
         def one(model, m2d, cam, target):
             out = render_model(
                 model, cam, static=static, means2d_dummy=m2d,
-                pair_capacity=pair_capacity, interpret=interpret,
-                full_output=True,
+                pair_capacity=pair_capacity, seg_cap=seg_cap,
+                interpret=interpret, full_output=True,
             )
             loss = rgb_loss(out.color, target, lambda_dssim)
             return loss, (out.radii, out.overflow)

@@ -98,6 +98,7 @@ def test_bg_gradient():
     np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_o), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_kbuffer_grads_match_oracle():
     from stopthepop_tpu.render.naive import render_kbuffer_naive
     from stopthepop_tpu.render.pipeline import render_tiled_kbuffer

@@ -5,6 +5,7 @@ import math
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,6 +56,7 @@ def _make_dataset(root, size=32, n_frames=4):
         json.dump(meta, f)
 
 
+@pytest.mark.slow
 def test_cli_trains_on_disk_dataset(tmp_path):
     root = str(tmp_path / "scene")
     _make_dataset(root)
@@ -126,6 +128,7 @@ def _make_colmap_dataset(root, size=32, n_frames=4):
     write_points3d_binary(os.path.join(sparse, "points3D.bin"), pts)
 
 
+@pytest.mark.slow
 def test_cli_trains_on_colmap_dataset(tmp_path):
     root = str(tmp_path / "colmap_scene")
     _make_colmap_dataset(root)
@@ -141,6 +144,7 @@ def test_cli_trains_on_colmap_dataset(tmp_path):
     assert np.all(np.isfinite(np.asarray(state.model.means3d)))
 
 
+@pytest.mark.slow
 def test_cli_auto_pair_capacity(tmp_path):
     """No --pair-capacity: the CLI sizes the buffer from measured counts."""
     root = str(tmp_path / "scene2")

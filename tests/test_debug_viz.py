@@ -1,6 +1,7 @@
 """Debug visualization modes (reference rasterizer_debug.h:11-20 parity)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +57,7 @@ def test_render_depth_orders_correctly():
     assert np.abs(left - right).max() > 0.1
 
 
+@pytest.mark.slow
 def test_all_viz_modes_finite():
     cam = make_camera(48, 48)
     scene = random_scene(jax.random.PRNGKey(3), 80)
@@ -80,6 +82,7 @@ def test_all_viz_modes_finite():
     assert len(seen) == 6  # every mode renders something distinct
 
 
+@pytest.mark.slow
 def test_viz_modes_on_resort_kernels():
     cam = make_camera(32, 32)
     scene = random_scene(jax.random.PRNGKey(4), 60)

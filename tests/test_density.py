@@ -1,6 +1,7 @@
 """Adaptive density control: clone/split/prune with static capacity."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,6 +114,7 @@ def test_reset_opacity_and_opt_slots():
     assert float(jnp.abs(mu[1]).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_adaptive_training_grows_and_improves():
     """Full 3DGS loop: train + densify rounds improve PSNR and add points."""
     import optax

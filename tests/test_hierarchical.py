@@ -52,6 +52,7 @@ def test_hier_oracle_big_windows_equal_full_sort():
 
 
 @pytest.mark.parametrize("queues", [(16, 8, 4), (8, 4, 2)])
+@pytest.mark.slow
 def test_hier_kernel_matches_oracle(queues):
     w = h = 48
     cam = make_camera(w, h)
@@ -74,6 +75,7 @@ def test_hier_kernel_matches_oracle(queues):
     )
 
 
+@pytest.mark.slow
 def test_hier_kernel_4x4_culling_matches_oracle():
     w = h = 32
     cam = make_camera(w, h)
@@ -117,6 +119,7 @@ def test_hier_quality_beats_global_vs_full():
     assert err_hier < err_glob
 
 
+@pytest.mark.slow
 def test_hier_grads_match_oracle():
     w = h = 48
     queues = (8, 4, 2)

@@ -31,6 +31,7 @@ def _static(cam, size):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     size = 32
     P = 64 * 4  # divisible by the gauss axis

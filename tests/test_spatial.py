@@ -71,6 +71,7 @@ def test_spatial_render_matches_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_spatial_loss_and_grads_match():
     cam, static, model, cams, mesh = _setup()
     target = jax.random.uniform(jax.random.PRNGKey(5), (3, SIZE, SIZE))
@@ -100,6 +101,7 @@ def test_spatial_loss_and_grads_match():
                                rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_spatial_step_trains():
     cam, static, model, cams, mesh = _setup()
     target = jax.random.uniform(jax.random.PRNGKey(5), (3, SIZE, SIZE))
