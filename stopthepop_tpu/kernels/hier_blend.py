@@ -37,12 +37,15 @@ from ..constants import (
     RAY_DEPTH_DEN_FLOOR,
     T_THRESHOLD,
     TILE_PIXELS,
+    TILE_X,
+    TILE_Y,
 )
 from .kbuffer_blend import (
     KB_PAYLOAD_F,
     _tile_pixels_lanes,
     _tile_pixels_sublanes,
     _view_rays,
+    moments_to_grads,
 )
 
 # ad_scr staging rows (all [CH, 256] pixels-on-lanes):
@@ -644,17 +647,21 @@ def blend_hier_forward(
 # blend event), exactly like the reference's hierarchical backward which
 # reuses the forward sorting skeleton with blend lambdas that emit gradients
 # front-to-back (hierarchical_render.cuh:1038-1175, suffix reconstructed as
-# (final_color - C)/test_T). Window entries additionally carry their payload
-# features and source pair index; gradient routing to source payload columns
-# uses the same guarded one-hot MXU matmuls as the k-buffer backward
-# (kbuffer_blend.py). Depth keys get no gradient (discrete resort), matching
-# the reference.
+# (final_color - C)/test_T). Gradient routing uses the k-buffer backward's
+# MOMENT factoring (kbuffer_blend.py): the blend event routes only the two
+# pop scalars' moments {s1 * tile-centered pixel basis, w * g_rgb} to the
+# source pair column (one-hot MXU matmul into a [16, seg_cap] accumulator),
+# and a per-chunk post-pass at writeback expands them into gradient rows
+# from the re-fetched payload features. That shrinks the cascade windows to
+# {key, d_head, alpha, c.g, src} — 5 mid / 4 head fields instead of the
+# 13 / 12 a direct-gradient replay needs. Depth keys get no gradient
+# (discrete resort), matching the reference.
 
 # Backward window layouts. The tail uses the same packed planes as the
 # forward (TAIL_PLANES x [kt, 128], with the stream position folded into
 # plane-3 field 2); mid/head stay per-pixel with the leading row the key:
-MID_B = 13   # key(d_mid), d_head, a, r, g, b, x, y, ca, cb, cc, opw, src
-HEAD_B = 12  # key(d_head), a, r, g, b, x, y, ca, cb, cc, opw, src
+MID_B = 5   # key(d_mid), d_head, a, c.g, src
+HEAD_B = 4  # key(d_head), a, c.g, src
 GRAD_ROWS = 16
 
 
@@ -690,6 +697,20 @@ def _bwd_kernel(
         + (fw[2:3, :] - T_final * bg_ref[2]) * g_b
     )
 
+    # Per-pixel moment basis about the tile center (see
+    # kbuffer_blend.moments_to_grads).
+    cx = (tx * TILE_X).astype(jnp.float32) + (TILE_X - 1) / 2.0
+    cy = (ty * TILE_Y).astype(jnp.float32) + (TILE_Y - 1) / 2.0
+    px = plx - cx
+    py = ply - cy
+    k1 = jnp.concatenate(
+        [jnp.ones((1, TILE_PIXELS), jnp.float32), px, py,
+         px * px, px * py, py * py],
+        axis=0,
+    )  # [6, 256] s1 basis
+    k2 = jnp.concatenate([g_r, g_g, g_b], axis=0)  # [3, 256] s2 basis
+    mpad = jnp.zeros((GRAD_ROWS - 9, TILE_PIXELS), jnp.float32)
+
     tail[...] = jnp.zeros((TAIL_PLANES, kt, 128))
     tail[0] = jnp.full((kt, 128), jnp.inf)
     mid[...] = jnp.zeros((MID_B, km, TILE_PIXELS))
@@ -717,10 +738,9 @@ def _bwd_kernel(
         get_dma(0, 0).start()
 
     def blend_grads(state, pop_h, e_h):
-        """Blend the popped head entry + emit/route its gradients.
+        """Blend the popped head entry + route its pop-scalar moments.
 
-        e_h rows: key, a, r, g, b, x, y, ca, cb, cc, opw, src.
-        state: (T, acc_g, done) of [1, 256].
+        e_h rows: key, a, c.g, src. state: (T, acc_g, done) of [1, 256].
         """
         T, acc_g, done = state
         a0 = e_h[1]
@@ -729,7 +749,7 @@ def _bwd_kernel(
         done = jnp.maximum(
             done, (pop_h & (U < T_THRESHOLD)).astype(jnp.float32)
         )
-        cdotg = e_h[2] * g_r + e_h[3] * g_g + e_h[4] * g_b
+        cdotg = e_h[2]
         w = jnp.where(commit, a0 * T, 0.0)
         acc_g = acc_g + w * cdotg
         suffix = ctot_g - acc_g
@@ -738,28 +758,10 @@ def _bwd_kernel(
             cdotg * T - (suffix + KT) / (1.0 - a0),
             0.0,
         )
-        dxp = e_h[5] - plx
-        dyp = e_h[6] - ply
-        ca0, cb0, cc0 = e_h[7], e_h[8], e_h[9]
-        dfactor = -a0 * galpha
-        grad_rows = [
-            dfactor * (ca0 * dxp + cb0 * dyp),
-            dfactor * (cc0 * dyp + cb0 * dxp),
-            dfactor * 0.5 * dxp * dxp,
-            dfactor * dxp * dyp,
-            dfactor * 0.5 * dyp * dyp,
-            galpha * a0 / jnp.maximum(e_h[10], 1e-12),
-            w * g_r,
-            w * g_g,
-            w * g_b,
-        ]
-        gradfeat = jnp.concatenate(
-            grad_rows
-            + [jnp.zeros((GRAD_ROWS - len(grad_rows), TILE_PIXELS))],
-            axis=0,
-        )
+        s1 = galpha * a0
+        gradfeat = jnp.concatenate([s1 * k1, w * k2, mpad], axis=0)
 
-        src = e_h[11].astype(jnp.int32)
+        src = e_h[3].astype(jnp.int32)
         # (An any-commit pl.when guard around the routing measured net
         # negative here — hier head-pops commit often enough that the
         # scalar reduce costs more than the skipped work; the k-buffer
@@ -789,7 +791,7 @@ def _bwd_kernel(
         return (T, acc_g, done)
 
     def push_head(state, fh, pop_m, e_m):
-        # e_m rows: key, dh, a, r, g, b, x, y, ca, cb, cc, opw, src
+        # e_m rows: key, dh, a, c.g, src
         pop_h = pop_m & (fh == kh)
         new = list(e_m[1:])  # drop the mid key; dh becomes the head key
         e_h = _win_update(head, HEAD_B, pop_h, pop_m, new)
@@ -821,7 +823,7 @@ def _bwd_kernel(
 
     def pop_cascade(state, fm, fh, front, pop_t):
         """Unpack + recompute the popped tail entry (exact intake math),
-        then feed the mid/head cascade with its 13 backward fields."""
+        then feed the mid/head cascade with its 5 backward fields."""
         sc, src_row, pop_wide = _unpack_popped(front, pop_t)
         d_head = _ray_depth_rows(sc, vdh)
         d_mid = _ray_depth_rows(sc, vdm)
@@ -831,8 +833,8 @@ def _bwd_kernel(
         alpha = jnp.minimum(ALPHA_MAX, sc[5] * jnp.exp(-factor))
         ok = (factor >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (d_head >= 0.0)
         a_eff = jnp.where(ok, alpha, 0.0)
-        e_t = [None, d_mid, d_head, a_eff, sc[6], sc[7], sc[8],
-               sc[0], sc[1], sc[2], sc[3], sc[4], sc[5], src_row]
+        cg = sc[6] * g_r + sc[7] * g_g + sc[8] * g_b
+        e_t = [None, d_mid, d_head, a_eff, cg, src_row]
         return push_mid(state, fm, fh, pop_wide, e_t)
 
     def consume(j, carry, base):
@@ -950,8 +952,27 @@ def _bwd_kernel(
 
     state, fh = jax.lax.fori_loop(0, kh, drain_head, (state, fh))
 
+    # Expand moments -> gradient rows chunk-by-chunk (re-fetching the payload
+    # features double-buffered) and write back to HBM.
+    wb_rounds = jnp.minimum(rounds, max_route)
+
+    @pl.when(wb_rounds > 0)
+    def _():
+        get_dma(0, 0).start()
+
     def writeback(r, _):
+        @pl.when(r + 1 < wb_rounds)
+        def _():
+            get_dma((r + 1) % 2, r + 1).start()
+
+        get_dma(r % 2, r).wait()
+        feat = buf[r % 2]  # rows 0..5 = x, y, ca, cb, cc, opw
         off = pl.multiple_of(r * chunk, chunk)
+        dm = dseg[:, pl.ds(off, chunk)]
+        grads = moments_to_grads(dm, feat, cx, cy)
+        dseg[:, pl.ds(off, chunk)] = jnp.concatenate(
+            [grads, jnp.zeros((GRAD_ROWS - 9, chunk), jnp.float32)], axis=0
+        )
         dst = pl.multiple_of(start + r * chunk, chunk)
         cp = pltpu.make_async_copy(
             dseg.at[:, pl.ds(off, chunk)],
@@ -962,7 +983,7 @@ def _bwd_kernel(
         cp.wait()
         return 0
 
-    jax.lax.fori_loop(0, jnp.minimum(rounds, max_route), writeback, 0)
+    jax.lax.fori_loop(0, wb_rounds, writeback, 0)
 
 
 def blend_hier_backward(
