@@ -340,23 +340,36 @@ def blend_kbuffer_forward(
 # contribution as (final_color - acc) / test_T from the saved pixel colors and
 # scatters the per-Gaussian gradients with atomicAdd.
 #
-# Here the replay is identical, but the scatter is TPU-native: each window
-# entry carries its *source pair index*; at pop time the per-pixel gradient
-# rows [16, 256] are routed to their source payload columns with a one-hot
-# matmul on the MXU — grad[16, 256] @ onehot[256, CH] accumulated into a
-# VMEM-resident per-segment gradient buffer [16, seg_cap]. Because popped
-# entries overwhelmingly come from the current chunk, the routing loop runs
-# only over the [min, max] chunk range actually present among this event's
-# committed sources (usually exactly one iteration). Gradients w.r.t. the
-# inverse-covariance rows are identically zero (per-ray depth only permutes
-# the blend order — a discrete, non-differentiable choice, exactly like the
-# reference which emits no depth gradients).
+# Here the replay is identical, but the scatter is TPU-native AND factored so
+# the replay stays cheap. Observation: every per-pair gradient row is a
+# per-pixel CONSTANT times one of two per-pop scalars,
 #
-# The per-pop gradient (same algebra as the GLOBAL backward, with suffix
+#   s1 = alpha * dL/dalpha        s2 = w = alpha * T,
+#
+# because with tile-relative pixel coords (px, py) and source features
+# (x, y, ca, cb, cc, opw):
+#   d_x   = -s1 (ca (xc-px) + cb (yc-py))          d_opw = s1 / opw
+#   d_ca  = -s1/2 (xc-px)^2   ... etc              d_rgb = s2 * g_rgb.
+# So the replay routes only the nine MOMENTS {s1*1, s1*px, s1*py, s1*px^2,
+# s1*px*py, s1*py^2, s2*g_r, s2*g_g, s2*g_b} to their source pair columns
+# (one-hot MXU matmul into a VMEM [16, seg_cap] accumulator), and a single
+# per-chunk post-pass at writeback expands moments into the gradient rows
+# from the (re-fetched) payload features. Two consequences:
+#   * the replay window carries just {depth, alpha, c.g, src} — 4 fields vs
+#     the forward's 5 (the 12-field direct-gradient variant was ~6x slower);
+#   * the per-pop VPU work is two broadcast multiplies, not nine rows of
+#     feature algebra.
+# Moments use tile-center-relative pixel coordinates to keep the moment
+# expansion numerically benign (terms stay within ~2 digits of the result).
+# Gradients w.r.t. the inverse-covariance rows are identically zero (per-ray
+# depth only permutes the blend order — a discrete, non-differentiable
+# choice, exactly like the reference which emits no depth gradients).
+#
+# The per-pop alpha gradient (same algebra as the GLOBAL backward, suffix
 # S = C_tot . g - acc . g reconstructed from the saved forward output):
 #   dL/dalpha = commit * [ (c.g) T_before - (S + (bg.g + g_T) T_final)/(1-a) ]
 
-GRAD_ROWS = 16  # d_x, d_y, d_a, d_b, d_c, d_opw, d_r, d_g, d_b + 7 pad
+GRAD_ROWS = 16  # 9 moment/gradient rows + 7 pad (f32 sublane alignment x2)
 
 
 def _tile_pixels_lanes(tx, ty):
@@ -368,7 +381,38 @@ def _tile_pixels_lanes(tx, ty):
 
 
 # ad_scr staging rows for the backward replay (all [CH, 256], pixels on lanes)
-_BWD_STAGE = 11  # a, d, r, g, b, x, y, ca, cb, cc, opw
+_BWD_STAGE = 3  # a, d, c.g
+
+
+def moments_to_grads(dm, feat, cx, cy):
+    """Expand routed moment rows into payload-gradient rows (one chunk).
+
+    dm [GRAD_ROWS, CH]: rows 0..5 = s1-moments {1, px, py, px^2, px*py,
+    py^2}, rows 6..8 = s2-moments {g_r, g_g, g_b}; feat [>=6, CH] = payload
+    rows {x, y, ca, cb, cc, opw}; (cx, cy) = tile-center pixel coords the
+    moments were taken about. Returns [9, CH] gradient rows
+    (d_x, d_y, d_ca, d_cb, d_cc, d_opw, d_r, d_g, d_b).
+    """
+    xc = feat[0:1] - cx
+    yc = feat[1:2] - cy
+    ca, cb, cc = feat[2:3], feat[3:4], feat[4:5]
+    opw = feat[5:6]
+    m0, m1, m2 = dm[0:1], dm[1:2], dm[2:3]
+    m3, m4, m5 = dm[3:4], dm[4:5], dm[5:6]
+    ax = xc * m0 - m1          # sum s1 * dxp
+    ay = yc * m0 - m2          # sum s1 * dyp
+    return jnp.concatenate(
+        [
+            -(ca * ax + cb * ay),
+            -(cc * ay + cb * ax),
+            -0.5 * (xc * xc * m0 - 2.0 * xc * m1 + m3),
+            -(xc * yc * m0 - xc * m2 - yc * m1 + m4),
+            -0.5 * (yc * yc * m0 - 2.0 * yc * m2 + m5),
+            m0 / jnp.maximum(opw, 1e-12),
+            dm[6:7], dm[7:8], dm[8:9],
+        ],
+        axis=0,
+    )
 
 
 def _bwd_kernel(
@@ -379,7 +423,7 @@ def _bwd_kernel(
     dpay_ref,                                 # HBM out [32, C_pad]
     buf, ad_scr, dseg, sems, wsem,            # scratch
     *, k: int, chunk: int, seg_cap: int, grid_x: int,
-    width: int, height: int,
+    width: int, height: int, _ablate: str = "",
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -405,6 +449,19 @@ def _bwd_kernel(
         + (fw[2:3, :] - T_final * bg_ref[2]) * g_b
     )
 
+    # Per-pixel moment basis about the tile center (see moments_to_grads).
+    cx = (tx * TILE_X).astype(jnp.float32) + (TILE_X - 1) / 2.0
+    cy = (ty * TILE_Y).astype(jnp.float32) + (TILE_Y - 1) / 2.0
+    px = plx - cx
+    py = ply - cy
+    k1 = jnp.concatenate(
+        [jnp.ones((1, TILE_PIXELS), jnp.float32), px, py,
+         px * px, px * py, py * py],
+        axis=0,
+    )  # [6, 256] s1 basis
+    k2 = jnp.concatenate([g_r, g_g, g_b], axis=0)  # [3, 256] s2 basis
+    mpad = jnp.zeros((GRAD_ROWS - 9, TILE_PIXELS), jnp.float32)
+
     dseg[...] = jnp.zeros((GRAD_ROWS, seg_cap), jnp.float32)
 
     def get_dma(slot, kk):
@@ -419,54 +476,42 @@ def _bwd_kernel(
         get_dma(0, 0).start()
 
     def pop_grads(win, state, popm):
-        """Pop + blend + emit/route gradients. Returns (win, state)."""
+        """Pop + blend + route the two pop scalars' moments. Returns
+        (win, state)."""
         fill, T, acc_g, nc, done = state
         a0 = win["a"][0:1]
         U = T * (1.0 - a0)
         commit = popm & (done < 0.5) & (U >= T_THRESHOLD)
         done = jnp.maximum(done, (popm & (U < T_THRESHOLD)).astype(jnp.float32))
-        cdotg = win["r"][0:1] * g_r + win["g"][0:1] * g_g + win["b"][0:1] * g_b
+        cdotg = win["cg"][0:1]
         w = jnp.where(commit, a0 * T, 0.0)
         acc_g = acc_g + w * cdotg
         suffix = ctot_g - acc_g
         src = win["src"][0:1]  # [1, 256] int32 segment-local pair index
-        win_x, win_y = win["x"][0:1], win["y"][0:1]
-        ca0, cb0, cc0 = win["ca"][0:1], win["cb"][0:1], win["cc"][0:1]
-        opw0 = win["opw"][0:1]
 
-        # Gradient emission + routing is side-effect-only (dseg) — skip it
+        # Moment emission + routing is side-effect-only (dseg) — skip it
         # entirely for pops where no pixel commits (window fill,
         # post-saturation).
-        @pl.when(jnp.any(commit))
+        _run = jnp.any(commit) if _ablate != "noroute" else jnp.bool_(False)
+
+        @pl.when(_run)
         def _():
             galpha = jnp.where(
                 commit & (a0 < ALPHA_MAX),
                 cdotg * T - (suffix + KT) / (1.0 - a0),
                 0.0,
             )
-            dxp = win_x - plx
-            dyp = win_y - ply
-            dfactor = -a0 * galpha
-            grad_rows = [
-                dfactor * (ca0 * dxp + cb0 * dyp),
-                dfactor * (cc0 * dyp + cb0 * dxp),
-                dfactor * 0.5 * dxp * dxp,
-                dfactor * dxp * dyp,
-                dfactor * 0.5 * dyp * dyp,
-                galpha * a0 / jnp.maximum(opw0, 1e-12),
-                w * g_r,
-                w * g_g,
-                w * g_b,
-            ]
-            gradfeat = jnp.concatenate(
-                grad_rows
-                + [jnp.zeros((GRAD_ROWS - len(grad_rows), TILE_PIXELS))],
-                axis=0,
-            )  # [16, 256]
+            s1 = galpha * a0      # [1, 256]
+            moments = jnp.concatenate(
+                [s1 * k1, w * k2, mpad], axis=0
+            )  # [16, 256] — two broadcast multiplies, no feature algebra
             route = commit & (src >= 0) & (src < seg_cap)
             chunk_id = jnp.where(route, src // chunk, 0)
-            cmin = jnp.min(jnp.where(route, chunk_id, max_route))
-            cmax = jnp.max(jnp.where(route, chunk_id, -1))
+            if _ablate == "fixedroute":
+                cmin, cmax = jnp.int32(0), jnp.int32(0)
+            else:
+                cmin = jnp.min(jnp.where(route, chunk_id, max_route))
+                cmax = jnp.max(jnp.where(route, chunk_id, -1))
 
             def route_chunk(r, _):
                 sel = route & (chunk_id == r)
@@ -477,7 +522,7 @@ def _bwd_kernel(
                 )
                 onehot = (col_t == lane).astype(jnp.float32)  # [256, CH]
                 dchunk = jax.lax.dot_general(
-                    gradfeat, onehot,
+                    moments, onehot,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [16, CH]
@@ -485,7 +530,10 @@ def _bwd_kernel(
                 dseg[:, pl.ds(off, chunk)] += dchunk
                 return 0
 
-            jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
+            if _ablate == "nomatmul":
+                dseg[:, pl.ds(0, chunk)] += moments[:, 0:chunk]
+            else:
+                jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
 
         T = jnp.where(commit, U, T)
         nc = nc + commit.astype(jnp.float32)
@@ -505,8 +553,8 @@ def _bwd_kernel(
 
     def consume(j, carry, base):
         win, state = carry
-        # One dynamic-offset load for the whole entry (11 rows), not eleven.
-        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [11, 256]
+        # One dynamic-offset load for the whole entry (3 rows), not three.
+        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [3, 256]
         a_j = row[0:1]
         v = a_j > 0.0
         popm = (state[0] == k) & v
@@ -515,15 +563,7 @@ def _bwd_kernel(
         new = {
             "d": row[1:2],
             "a": a_j,
-            "r": row[2:3],
-            "g": row[3:4],
-            "b": row[4:5],
-            "x": row[5:6],
-            "y": row[6:7],
-            "ca": row[7:8],
-            "cb": row[8:9],
-            "cc": row[9:10],
-            "opw": row[10:11],
+            "cg": row[2:3],
             "src": srcv,
         }
         win, fill = _insert(win, state[0], v, new)
@@ -543,11 +583,13 @@ def _bwd_kernel(
         )
         ad_scr[0] = a_all.T
         ad_scr[1] = depth.T
-        feat_rows = (6, 7, 8, 0, 1, 2, 3, 4, 5)  # r g b x y ca cb cc opw
-        for i, f in enumerate(feat_rows):
-            ad_scr[2 + i] = jnp.broadcast_to(
-                data[f:f + 1, :].T, (chunk, TILE_PIXELS)
-            )
+        # c.g for every (pair, pixel): rank-3 contraction on the MXU.
+        ad_scr[2] = jax.lax.dot_general(
+            data[6:9, :], k2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [CH, 256]
+
         def quad(q, c):
             return jax.lax.fori_loop(
                 0, 4,
@@ -562,15 +604,7 @@ def _bwd_kernel(
     win0 = {
         "d": jnp.full((k, TILE_PIXELS), jnp.inf),
         "a": jnp.zeros((k, TILE_PIXELS)),
-        "r": jnp.zeros((k, TILE_PIXELS)),
-        "g": jnp.zeros((k, TILE_PIXELS)),
-        "b": jnp.zeros((k, TILE_PIXELS)),
-        "x": jnp.zeros((k, TILE_PIXELS)),
-        "y": jnp.zeros((k, TILE_PIXELS)),
-        "ca": jnp.zeros((k, TILE_PIXELS)),
-        "cb": jnp.zeros((k, TILE_PIXELS)),
-        "cc": jnp.zeros((k, TILE_PIXELS)),
-        "opw": jnp.zeros((k, TILE_PIXELS)),
+        "cg": jnp.zeros((k, TILE_PIXELS)),
         "src": jnp.full((k, TILE_PIXELS), -1, jnp.int32),
     }
     state0 = (
@@ -607,9 +641,27 @@ def _bwd_kernel(
 
     win, state = jax.lax.fori_loop(0, k, drain, (win, state))
 
-    # Write the accumulated per-segment gradients back to HBM.
+    # Expand moments -> gradient rows chunk-by-chunk (re-fetching the payload
+    # features double-buffered) and write back to HBM.
+    wb_rounds = jnp.minimum(rounds, max_route)
+
+    @pl.when(wb_rounds > 0)
+    def _():
+        get_dma(0, 0).start()
+
     def writeback(r, _):
+        @pl.when(r + 1 < wb_rounds)
+        def _():
+            get_dma((r + 1) % 2, r + 1).start()
+
+        get_dma(r % 2, r).wait()
+        feat = buf[r % 2]  # rows 0..5 = x, y, ca, cb, cc, opw
         off = pl.multiple_of(r * chunk, chunk)
+        dm = dseg[:, pl.ds(off, chunk)]
+        grads = moments_to_grads(dm, feat, cx, cy)
+        dseg[:, pl.ds(off, chunk)] = jnp.concatenate(
+            [grads, jnp.zeros((GRAD_ROWS - 9, chunk), jnp.float32)], axis=0
+        )
         dst = pl.multiple_of(start + r * chunk, chunk)
         cp = pltpu.make_async_copy(
             dseg.at[:, pl.ds(off, chunk)],
@@ -620,7 +672,7 @@ def _bwd_kernel(
         cp.wait()
         return 0
 
-    jax.lax.fori_loop(0, jnp.minimum(rounds, max_route), writeback, 0)
+    jax.lax.fori_loop(0, wb_rounds, writeback, 0)
 
 
 def blend_kbuffer_backward(
@@ -640,13 +692,14 @@ def blend_kbuffer_backward(
     chunk: int = 128,
     seg_cap: int = 16384,
     interpret: bool = False,
+    _ablate: str = "",
 ):
     """Returns d_payload [32, C_pad] (rows 0..8; only segment prefixes of
     length <= seg_cap are written — zero the rest outside)."""
     num_tiles = grid_x * grid_y
     kernel = functools.partial(
         _bwd_kernel, k=k, chunk=chunk, seg_cap=seg_cap, grid_x=grid_x,
-        width=width, height=height,
+        width=width, height=height, _ablate=_ablate,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
