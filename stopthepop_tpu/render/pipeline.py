@@ -206,6 +206,61 @@ def render_tiled_kbuffer(
     return color, final_t, n_contrib, pairs, depth_acc
 
 
+def render_tiled_full(
+    prep: PreprocessOutput,
+    bg: jnp.ndarray,
+    *,
+    image_width: int,
+    image_height: int,
+    capacity: int,
+    campos,
+    inverse_vp,
+    sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
+    tile_based_culling: bool = False,
+    seg_full: int = 2048,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """PER_PIXEL_FULL tiled render (exact per-ray sort; forward only, like
+    the reference's renderSortedFullCUDA). Returns (color, final_T,
+    n_contrib, pairs, depth_acc). Tiles with more than ``seg_full`` pairs
+    are truncated and reported through ``pairs.overflow``."""
+    from ..kernels.full_blend import blend_full_forward
+    from ..kernels.global_blend import unpack_image
+
+    grid_x, grid_y = tile_grid(image_width, image_height)
+    pairs, segs = build_pairs_aligned(
+        prep,
+        capacity=capacity,
+        grid_x=grid_x,
+        grid_y=grid_y,
+        align=chunk,
+        sort_order=sort_order,
+        tile_based_culling=tile_based_culling,
+        campos=campos,
+        inverse_vp=inverse_vp,
+        image_width=image_width,
+        image_height=image_height,
+    )
+    payload = build_payload_kbuffer(prep, segs, chunk, capacity)
+    cam = jnp.concatenate(
+        [inverse_vp.reshape(-1), campos.reshape(-1)]
+    ).astype(jnp.float32)
+    packed = blend_full_forward(
+        jax.lax.stop_gradient(payload),
+        segs.starts, segs.counts, jax.lax.stop_gradient(bg), cam,
+        grid_x=grid_x, grid_y=grid_y, width=image_width,
+        height=image_height, seg_full=seg_full, interpret=interpret,
+    )
+    color, final_t, n_contrib, depth_acc = unpack_image(
+        packed, grid_x, grid_y, image_width, image_height
+    )
+    pairs = pairs._replace(
+        overflow=pairs.overflow | jnp.any(segs.counts > seg_full)
+    )
+    return color, final_t, n_contrib, pairs, depth_acc
+
+
 def render_tiled_hier(
     prep: PreprocessOutput,
     bg: jnp.ndarray,

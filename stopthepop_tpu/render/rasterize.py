@@ -32,7 +32,12 @@ from ..config import (
 from ..constants import PAIR_CAPACITY_FACTOR
 from ..ops.transforms import mark_visible
 from .naive import render_full_sort_naive
-from .pipeline import render_tiled, render_tiled_hier, render_tiled_kbuffer
+from .pipeline import (
+    render_tiled,
+    render_tiled_full,
+    render_tiled_hier,
+    render_tiled_kbuffer,
+)
 from .preprocess import preprocess
 
 
@@ -107,6 +112,8 @@ def _rasterize_impl(
     *,
     pair_capacity: Optional[int] = None,
     seg_cap: int = 16384,
+    seg_full: int = 2048,
+    full_mode: str = "auto",
     chunk: int = 128,
     interpret: bool = False,
     full_output: bool = False,
@@ -190,15 +197,37 @@ def _rasterize_impl(
 
     pairs = None
     if sort_mode == SortMode.PPX_FULL:
-        # Exact per-pixel full sort — the quality oracle. The reference's
-        # version is forward-only (backward.cu:733-736); ours differentiates
-        # but is O(P x pixels) memory, so keep scenes small.
-        color, final_t, n_contrib, depth_acc = render_full_sort_naive(
-            prep, rs.bg, W, H, rs.campos, rs.inv_viewprojmatrix
+        # Exact per-pixel full sort — the quality oracle. Two backends:
+        #   * "naive": O(P x pixels) dense jnp oracle — differentiable
+        #     (beats the reference, whose FULL is fwd-only), small scenes;
+        #   * "tiled": the Pallas per-tile bitonic kernel — forward-only
+        #     like the reference (backward.cu:733-736), lego/garden scale.
+        # "auto" picks naive while the dense [P, pixels] tables stay small.
+        use_naive = full_mode == "naive" or (
+            full_mode == "auto" and P * W * H <= (1 << 26)
         )
-        final_t = final_t.reshape(H, W)
-        n_contrib = n_contrib.reshape(H, W)
-        overflow = jnp.array(False)
+        if use_naive:
+            color, final_t, n_contrib, depth_acc = render_full_sort_naive(
+                prep, rs.bg, W, H, rs.campos, rs.inv_viewprojmatrix
+            )
+            final_t = final_t.reshape(H, W)
+            n_contrib = n_contrib.reshape(H, W)
+            overflow = jnp.array(False)
+        else:
+            color, final_t, n_contrib, pairs, depth_acc = render_tiled_full(
+                prep,
+                rs.bg,
+                image_width=W,
+                image_height=H,
+                capacity=capacity,
+                campos=rs.campos,
+                inverse_vp=rs.inv_viewprojmatrix,
+                sort_order=sort_order,
+                tile_based_culling=ext.culling_settings.tile_based_culling,
+                seg_full=seg_full,
+                interpret=interpret,
+            )
+            overflow = pairs.overflow
     elif sort_mode == SortMode.GLOBAL:
         color, final_t, n_contrib, pairs, depth_acc = render_tiled(
             prep,

@@ -1,0 +1,76 @@
+"""PER_PIXEL_FULL tiled Pallas kernel vs the dense jnp oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stopthepop_tpu.render.duplicate import count_pairs
+from stopthepop_tpu.render.naive import render_full_sort_naive
+from stopthepop_tpu.render.pipeline import render_tiled_full
+from stopthepop_tpu.render.preprocess import preprocess
+from stopthepop_tpu.utils.testing import make_camera, random_scene
+
+
+def _prep(scene, cam, **kw):
+    return preprocess(
+        scene.means3d,
+        scene.opacities,
+        scales=scene.scales,
+        rotations=scene.rotations,
+        shs=scene.shs,
+        viewmatrix=cam.viewmatrix,
+        projmatrix=cam.projmatrix,
+        campos=cam.campos,
+        tanfovx=cam.tanfovx,
+        tanfovy=cam.tanfovy,
+        image_width=cam.width,
+        image_height=cam.height,
+        sh_degree=3,
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("seed,n", [(5, 200), (11, 60)])
+def test_full_tiled_matches_oracle(seed, n):
+    w = h = 48
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(seed), n)
+    prep = _prep(scene, cam)
+    bg = jnp.array([0.15, 0.05, 0.3])
+    img_o, T_o, n_o, D_o = render_full_sort_naive(
+        prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix
+    )
+    cap = int(count_pairs(prep)) + 64
+    img_t, T_t, n_t, pairs, D_t = render_tiled_full(
+        prep, bg, image_width=w, image_height=h, capacity=cap,
+        campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
+        seg_full=256, interpret=True,
+    )
+    assert not bool(pairs.overflow)
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_o), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(T_t).reshape(-1), np.asarray(T_o), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(D_t), np.asarray(D_o), atol=1e-3
+    )
+    # n_contrib is the last-contributor rank; near-threshold commits may
+    # flip under the log-space prefix product.
+    mismatched = (np.asarray(n_t).reshape(-1) != np.asarray(n_o)).mean()
+    assert mismatched < 0.02
+
+
+def test_full_tiled_truncation_flags_overflow():
+    w = h = 32
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(7), 300, extent=0.4)
+    prep = _prep(scene, cam)
+    bg = jnp.zeros(3)
+    cap = int(count_pairs(prep)) + 64
+    _, _, _, pairs, _ = render_tiled_full(
+        prep, bg, image_width=w, image_height=h, capacity=cap,
+        campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
+        seg_full=128, interpret=True,
+    )
+    assert bool(pairs.overflow)
