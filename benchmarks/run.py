@@ -88,6 +88,19 @@ def bench_mode(config, case, width, height, num_gaussians, scale_shift,
     static = _static(cam, width, height, sort_mode, **flags)
     interpret = jax.default_backend() != "tpu"
     target = jax.random.uniform(jax.random.PRNGKey(1), (3, height, width))
+    # Size the static pair buffer to the measured stream (the trainer CLI
+    # does the same; a blind capacity inflates every sort/gather domain).
+    from stopthepop_tpu.render.preprocess import preprocess as _pp
+
+    prep = _pp(
+        model.means3d, model.opacities(), scales=model.scales(),
+        rotations=model.rotations_normalized(), shs=model.shs(),
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+        campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        image_width=width, image_height=height, sh_degree=0,
+    )
+    measured = int(jnp.sum(prep.tiles_touched))
+    capacity = min(capacity, (int(measured * 1.1) + 127) // 128 * 128)
 
     def loss_fn(model):
         color, _ = render_model(

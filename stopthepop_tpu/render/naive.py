@@ -350,6 +350,73 @@ def pair_stream_keys(prep, pix_tile, sort_order, campos, inverse_vp, w, h):
 
 @partial(
     jax.jit,
+    static_argnames=("width", "height", "sort_order", "tile_based_culling"),
+)
+def render_global_order_naive(
+    prep: PreprocessOutput,
+    bg: jnp.ndarray,
+    width: int,
+    height: int,
+    campos: jnp.ndarray,
+    inverse_vp: jnp.ndarray,
+    sort_order: GlobalSortOrder = GlobalSortOrder.PTD_CENTER,
+    tile_based_culling: bool = False,
+):
+    """GLOBAL sort-mode oracle under any stream order, per-tile keys
+    included (PTD_CENTER / PTD_MAX): every pixel blends its tile's pairs in
+    ascending per-tile stream key with no resort window — the semantics of
+    the tiled GLOBAL pipeline with those orders. Dense [P, N]; small scenes.
+
+    Returns (color [3, H, W], final_T [N], n_contrib [N]).
+    """
+    N = width * height
+    pix = _pixel_grid(width, height)
+    pix_tile = jnp.stack(
+        [
+            (pix[:, 0] // TILE_X).astype(jnp.int32),
+            (pix[:, 1] // TILE_Y).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    alpha, skip = _alpha(prep.conic_opacity, prep.mean2d, pix)
+    in_rect = (
+        (pix_tile[None, :, 0] >= prep.rect_min[:, None, 0])
+        & (pix_tile[None, :, 0] < prep.rect_max[:, None, 0])
+        & (pix_tile[None, :, 1] >= prep.rect_min[:, None, 1])
+        & (pix_tile[None, :, 1] < prep.rect_max[:, None, 1])
+    )
+    stream_valid = in_rect & prep.valid[:, None]
+    if tile_based_culling:
+        tile_min, tile_max = tile_rect_bounds(
+            pix_tile[None, :, 0], pix_tile[None, :, 1]
+        )
+        power, _ = max_contrib_power_rect(
+            prep.conic_opacity[:, None, :], prep.mean2d[:, None, :],
+            tile_min, tile_max,
+        )
+        stream_valid = stream_valid & (
+            power <= prep.opacity_power_threshold[:, None]
+        )
+    alpha_eff = jnp.where(skip | ~stream_valid, 0.0, alpha)
+
+    stream_key = pair_stream_keys(
+        prep, pix_tile, sort_order, campos, inverse_vp, width, height
+    )
+    stream_key = jnp.where(stream_valid, stream_key, jnp.inf)
+    order = jnp.argsort(stream_key, axis=0, stable=True)
+    alpha_sorted = jnp.take_along_axis(alpha_eff, order, axis=0)
+    rgb_sorted = prep.rgb[order]  # [P, N, 3]
+
+    T0 = jnp.ones((N,), jnp.float32)
+    C0 = jnp.zeros((N, 3), jnp.float32)
+    idx0 = jnp.zeros((N,), jnp.int32)
+    T, C, idx = blend_prefix(alpha_sorted, rgb_sorted, T0, C0, idx0,
+                             jnp.int32(1))
+    return _finalize(C, T, bg, width, height), T, idx
+
+
+@partial(
+    jax.jit,
     static_argnames=("width", "height", "k", "sort_order", "tile_based_culling"),
 )
 def render_kbuffer_naive(

@@ -172,3 +172,100 @@ def test_hier_grads_match_oracle():
             b, a, atol=3e-4 * scale, rtol=3e-3,
             err_msg=f"hier gradient mismatch for {name}",
         )
+
+
+@pytest.mark.slow
+def test_hier_default_queues_match_oracle():
+    """The DEFAULT (64, 8, 4) queue config (rasterizer.h:43-48), on a scene
+    dense enough to overflow the 64-deep tail (pops exercised, not just
+    drains): forward image equality vs the jnp oracle."""
+    w = h = 32
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(21), 400, extent=0.6)
+    prep = _prep(scene, cam)
+    bg = jnp.array([0.1, 0.05, 0.2])
+    cap = int(count_pairs(prep)) + 64
+    # Sanity: at least one tile stream is deeper than the tail queue.
+    from stopthepop_tpu.render.duplicate import rect_histogram
+
+    assert int(rect_histogram(prep, 2, 2).max()) > 80
+    img_o, T_o, _ = render_hierarchical_naive(
+        prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
+        queue_sizes=(64, 8, 4),
+    )
+    img_t, T_t, _, pairs, _ = render_tiled_hier(
+        prep, bg, image_width=w, image_height=h, capacity=cap,
+        campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
+        queue_sizes=(64, 8, 4), interpret=True,
+    )
+    assert not bool(pairs.overflow)
+    # Deep streams hit near-tied keys whose pop order may flip between the
+    # kernel and the oracle; tolerate those (observed: ~0.07% of pixels at
+    # ~2e-4) while keeping the bulk exact.
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_o), atol=5e-4)
+    assert np.abs(np.asarray(img_t) - np.asarray(img_o)).mean() < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(T_t).reshape(-1), np.asarray(T_o), atol=5e-4
+    )
+
+
+@pytest.mark.slow
+def test_hier_default_queues_grads_match_oracle():
+    """Backward at the default (64, 8, 4) queues on a tail-overflowing
+    scene (VERDICT: the default bwd config was benchmarked but never
+    oracle-tested)."""
+    w = h = 16  # single tile, deep stream
+    queues = (64, 8, 4)
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(22), 250, extent=0.5)
+    bg = jnp.array([0.3, 0.1, 0.2])
+    weights = jax.random.normal(jax.random.PRNGKey(99), (3, h, w))
+
+    def prep_of(means, scales, rots, opac, colors):
+        return preprocess(
+            means, opac, scales=scales, rotations=rots,
+            colors_precomp=colors,
+            viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+            campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            image_width=w, image_height=h,
+        )
+
+    prep0 = prep_of(scene.means3d, scene.scales, scene.rotations,
+                    scene.opacities, scene.colors)
+    cap = int(count_pairs(prep0)) + 64
+    from stopthepop_tpu.render.duplicate import rect_histogram
+
+    assert int(rect_histogram(prep0, 1, 1).max()) > 100
+
+    def loss_oracle(means, scales, rots, opac, col):
+        img, final_t, _ = render_hierarchical_naive(
+            prep_of(means, scales, rots, opac, col), bg, w, h,
+            cam.campos, cam.inv_viewprojmatrix, queue_sizes=queues,
+        )
+        return jnp.sum(img * weights) + 0.1 * jnp.sum(final_t)
+
+    def loss_tiled(means, scales, rots, opac, col):
+        img, final_t, _, _, _ = render_tiled_hier(
+            prep_of(means, scales, rots, opac, col), bg,
+            image_width=w, image_height=h, capacity=cap,
+            campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
+            queue_sizes=queues, interpret=True,
+        )
+        return jnp.sum(img * weights) + 0.1 * jnp.sum(final_t)
+
+    args = (scene.means3d, scene.scales, scene.rotations, scene.opacities,
+            scene.colors)
+    v_o, g_o = jax.value_and_grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(*args)
+    v_t, g_t = jax.value_and_grad(loss_tiled, argnums=(0, 1, 2, 3, 4))(*args)
+
+    np.testing.assert_allclose(float(v_o), float(v_t), rtol=1e-5)
+    for name, a, b in zip(
+        ["means3d", "scales", "rotations", "opacities", "colors"], g_o, g_t
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all(), name
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b, a, atol=3e-4 * scale, rtol=3e-3,
+            err_msg=f"hier default-queue gradient mismatch for {name}",
+        )
