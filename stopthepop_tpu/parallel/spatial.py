@@ -24,8 +24,12 @@ too large for one chip (BASELINE config 5: 10M+ Gaussians at 4K):
     to the single-device one (zero-filled at true image edges, exactly like
     the zero-padded convolution).
 
-Supported sort orders: Z_DEPTH / DISTANCE (global per-Gaussian depths).
-The per-tile-depth orders would need band-local ray targets — future work.
+All sort orders and the resort modes run band-sharded: the gathered feature
+table carries the packed inverse 3D covariance, and band-local pixel/tile
+coordinates map onto true camera rays through a per-band adjusted
+inverse-view-projection matrix (the band's NDC-y is an affine function of
+the full image's, so the remap folds into the matrix rows — zero kernel or
+pipeline changes; see band_inverse_vp).
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ import optax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import GaussianRasterizationSettings, GlobalSortOrder
+from ..config import GaussianRasterizationSettings
 from ..constants import TILE_X, TILE_Y
 from ..models.gaussians import GaussianModel
 from ..render.pipeline import render_tiled, tile_grid
@@ -68,11 +72,42 @@ def plan_bands(image_width: int, image_height: int, n_bands: int,
                          band_capacity, n_bands)
 
 
+def band_inverse_vp(inverse_vp, band, cfg: SpatialConfig):
+    """Inverse view-projection matrix for band-local pixel coordinates.
+
+    A band pixel y_local maps to full-image NDC as an affine function of the
+    band-local NDC the kernels compute from (height = band_h):
+    ndc_full = a * ndc_band + b with a = band_h/H, b = a - 1 + 2*y0/H.
+    Rays are linear in (ndc_x, ndc_y, 1) through the matrix rows
+    (kbuffer_blend._view_rays / ops.transforms.compute_view_ray), so the
+    remap folds into rows 1 and 3 — every per-tile-depth target and per-ray
+    depth then comes out exactly as in the unsharded render.
+    """
+    band_h = cfg.band_gy * TILE_Y
+    # Target the TRUE image height (what the unsharded render uses for its
+    # NDC); rows past it are padding, cropped/masked downstream.
+    h_full = cfg.image_height
+    a = band_h / h_full
+    y0 = (band * band_h).astype(jnp.float32)
+    b = a - 1.0 + 2.0 * y0 / h_full
+    row1 = inverse_vp[1:2, :]
+    return jnp.concatenate(
+        [
+            inverse_vp[0:1, :],
+            a * row1,
+            inverse_vp[2:3, :],
+            inverse_vp[3:4, :] + b * row1,
+        ],
+        axis=0,
+    )
+
+
 def _preprocess_features(model: GaussianModel, cam: CameraArrays,
                          rs: GaussianRasterizationSettings):
-    """Per-shard preprocess -> (float feature table [p,11], int table [p,5]).
+    """Per-shard preprocess -> (float feature table [p,20], int table [p,5]).
 
-    Float cols: mean2d xy, conic_opacity abco, rgb, depth, power_threshold.
+    Float cols: mean2d xy, conic_opacity abco, rgb, depth, power_threshold,
+    packed inverse 3D covariance (6 inv-cov + 3 u) for exact per-ray depths.
     Int cols: rect_min xy, rect_max xy, valid.
     """
     ext = rs.settings
@@ -97,6 +132,10 @@ def _preprocess_features(model: GaussianModel, cam: CameraArrays,
             prep.rgb,
             jax.lax.stop_gradient(prep.depth)[:, None],
             jax.lax.stop_gradient(prep.opacity_power_threshold)[:, None],
+            # Packed Sigma^-1 + u for the per-tile-depth keys and the
+            # resort modes' exact per-ray depths; stop-gradient like the
+            # single-chip payload (discrete resort, no depth gradients).
+            jax.lax.stop_gradient(prep.cov3d_inv9),
         ],
         axis=1,
     )
@@ -145,7 +184,7 @@ def _band_prep(feat, ints, band: jnp.ndarray, cfg: SpatialConfig):
         rect_min=jnp.stack([rect_min[:, 0], bmin_y], axis=1),
         rect_max=jnp.stack([rect_max[:, 0], bmax_y], axis=1),
         tiles_touched=tiles,
-        cov3d_inv9=jnp.zeros((P_, 9), jnp.float32),
+        cov3d_inv9=feat[:, 11:20],
         opacity_power_threshold=feat[:, 10],
     )
 
@@ -169,15 +208,36 @@ def band_render(model_shard: GaussianModel, cam: CameraArrays,
     band = jax.lax.axis_index(axis)
     prep = _band_prep(feat_all, ints_all, band, cfg)
     band_h = cfg.band_gy * TILE_Y
-    color, final_t, _, _, _ = render_tiled(
-        prep, rs.bg,
+    ivp_band = band_inverse_vp(rs.inv_viewprojmatrix, band, cfg)
+    from ..config import SortMode
+    from ..render.pipeline import render_tiled_hier, render_tiled_kbuffer
+
+    ext = rs.settings
+    mode = SortMode(ext.sort_settings.sort_mode)
+    common = dict(
         image_width=cfg.image_width, image_height=band_h,
         capacity=cfg.band_capacity,
-        sort_order=rs.settings.sort_settings.sort_order,
-        tile_based_culling=rs.settings.culling_settings.tile_based_culling,
-        campos=rs.campos, inverse_vp=rs.inv_viewprojmatrix,
+        sort_order=ext.sort_settings.sort_order,
+        tile_based_culling=ext.culling_settings.tile_based_culling,
+        campos=rs.campos, inverse_vp=ivp_band,
         interpret=interpret,
     )
+    if mode == SortMode.PPX_KBUFFER:
+        color, final_t, _, _, _ = render_tiled_kbuffer(
+            prep, rs.bg, k=int(ext.sort_settings.queue_sizes.per_pixel),
+            **common,
+        )
+    elif mode == SortMode.HIER:
+        qs = ext.sort_settings.queue_sizes
+        color, final_t, _, _, _ = render_tiled_hier(
+            prep, rs.bg,
+            queue_sizes=(int(qs.tile_4x4), int(qs.tile_2x2),
+                         int(qs.per_pixel)),
+            hier_4x4_culling=ext.culling_settings.hierarchical_4x4_culling,
+            **common,
+        )
+    else:
+        color, final_t, _, _, _ = render_tiled(prep, rs.bg, **common)
     return color, final_t
 
 
@@ -265,11 +325,6 @@ def make_spatial_train_step(
     n = mesh.shape[axis]
     cfg = plan_bands(static.image_width, static.image_height, n,
                      band_capacity)
-    order = static.settings.sort_settings.sort_order
-    if order not in (GlobalSortOrder.Z_DEPTH, GlobalSortOrder.DISTANCE):
-        raise NotImplementedError(
-            "spatial sharding supports Z_DEPTH/DISTANCE sort orders")
-
     gspec = P(axis)
     band_spec = P(None, axis, None)
 

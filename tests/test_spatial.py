@@ -122,3 +122,31 @@ def test_spatial_step_trains():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.slow
+def test_spatial_resort_modes_match_single_device():
+    """PTD_MAX GLOBAL and PER_PIXEL_KBUFFER band-sharded == single-device
+    (the per-band inverse-VP remap must reproduce exact full-image rays)."""
+    from stopthepop_tpu.config import GlobalSortOrder, SortMode
+
+    cam, static, model, cams, mesh = _setup()
+    for sort_mode, order in (
+        (SortMode.GLOBAL, GlobalSortOrder.PTD_MAX),
+        (SortMode.PPX_KBUFFER, GlobalSortOrder.Z_DEPTH),
+        (SortMode.PPX_KBUFFER, GlobalSortOrder.PTD_CENTER),
+    ):
+        ext = ExtendedSettings()
+        ext.sort_settings.sort_mode = sort_mode
+        ext.sort_settings.sort_order = order
+        st = static._replace(settings=ext)
+        ref, *_ = render_model(model, cams, static=st, pair_capacity=8192,
+                               interpret=True)
+        render, cfg = make_spatial_render(
+            mesh, static=st, band_capacity=4096, interpret=True)
+        model_sh = shard_model(model, mesh)
+        img = render(model_sh, cams)
+        np.testing.assert_allclose(
+            np.asarray(img), np.asarray(ref), atol=1e-4,
+            err_msg=f"sharded mismatch for {sort_mode.name}/{order.name}",
+        )
