@@ -663,6 +663,12 @@ def blend_hier_forward(
 MID_B = 5   # key(d_mid), d_head, a, c.g, src
 HEAD_B = 4  # key(d_head), a, c.g, src
 GRAD_ROWS = 16
+# The branch-free fast routing path accumulates into a sliding window of
+# recent stream chunks (see kbuffer_blend._bwd_kernel). The hierarchy delays
+# a blend by ~(kt + 4*km + 4*kh) pairs after intake, so the window spans
+# FOUR chunks (vs the k-buffer's two); older sources take the staged
+# once-per-chunk slow path.
+HIER_WIN_CH = 4
 
 
 def _bwd_kernel(
@@ -671,7 +677,7 @@ def _bwd_kernel(
     fwd_ref,                                  # VMEM [1, 8, 256]
     grad_ref,                                 # VMEM [1, 8, 256]
     dpay_ref,                                 # HBM out [32, C_pad]
-    buf, ad_scr, tail, mid, head, dseg, sems, wsem,  # scratch
+    buf, ad_scr, tail, mid, head, stale_scr, dseg, sems, wsem,  # scratch
     *, kt: int, km: int, kh: int, chunk: int, seg_cap: int, grid_x: int,
     width: int, height: int, hier_4x4_culling: bool,
 ):
@@ -718,6 +724,10 @@ def _bwd_kernel(
     head[...] = jnp.zeros((HEAD_B, kh, TILE_PIXELS))
     head[0] = jnp.full((kh, TILE_PIXELS), jnp.inf)
     dseg[...] = jnp.zeros((GRAD_ROWS, seg_cap), jnp.float32)
+    # Invalidate the stale stage's source row: slots past the stream chunk
+    # are only written during drains, and the per-chunk stale pass scans all
+    # of them.
+    stale_scr[2] = jnp.full((stale_scr.shape[1], TILE_PIXELS), -1.0)
 
     # Per-pixel constants for the pop-time recompute (pixels on lanes).
     vdh = _view_rays(cam_ref, plx, ply, width, height)
@@ -737,10 +747,25 @@ def _bwd_kernel(
     def _():
         get_dma(0, 0).start()
 
-    def blend_grads(state, pop_h, e_h):
-        """Blend the popped head entry + route its pop-scalar moments.
+    # One-hots are built column-on-sublanes / pixel-on-lanes and consumed
+    # with a lane-contracting dot_general — a per-pop [1, 256] transpose
+    # costs ~500 ns on this hardware (measured in the k-buffer backward).
+    sub_w = jax.lax.broadcasted_iota(
+        jnp.int32, (HIER_WIN_CH * chunk, TILE_PIXELS), 0
+    )
+    sub1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_PIXELS), 0)
+    n_slots = stale_scr.shape[1]
+
+    def blend_grads(state, pop_h, e_h, rst, slot, base):
+        """Blend the popped head entry + branch-free moment routing.
 
         e_h rows: key, a, c.g, src. state: (T, acc_g, done) of [1, 256].
+        rst = (route_acc [16, WIN*chunk], stale_flag int32); ``base`` is the
+        current stream chunk's first source index. Per-pop data-dependent
+        branches stall the Mosaic pipeline (measured ~an order of magnitude
+        over the matmul they guard), so the fast path is one unconditional
+        one-hot matmul into the window accumulator; older sources are staged
+        at ``slot`` and replayed once per chunk under a single guard.
         """
         T, acc_g, done = state
         a0 = e_h[1]
@@ -759,53 +784,93 @@ def _bwd_kernel(
             0.0,
         )
         s1 = galpha * a0
-        gradfeat = jnp.concatenate([s1 * k1, w * k2, mpad], axis=0)
+        moments = jnp.concatenate([s1 * k1, w * k2, mpad], axis=0)
 
         src = e_h[3].astype(jnp.int32)
-        # (An any-commit pl.when guard around the routing measured net
-        # negative here — hier head-pops commit often enough that the
-        # scalar reduce costs more than the skipped work; the k-buffer
-        # backward, with sparser commits per pop, keeps the guard.)
-        route = commit & (src >= 0) & (src < seg_cap)
-        chunk_id = jnp.where(route, src // chunk, 0)
-        cmin = jnp.min(jnp.where(route, chunk_id, max_route))
-        cmax = jnp.max(jnp.where(route, chunk_id, -1))
-
-        def route_chunk(r, _):
-            sel = route & (chunk_id == r)
-            colm = jnp.where(sel, src - r * chunk, -1)
-            col_t = colm.T
-            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, chunk), 1)
-            onehot = (col_t == lane).astype(jnp.float32)
-            dchunk = jax.lax.dot_general(
-                gradfeat, onehot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            off = pl.multiple_of(r * chunk, chunk)
-            dseg[:, pl.ds(off, chunk)] += dchunk
-            return 0
-
-        jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
+        route_acc, stale_flag = rst
+        lo = base - (HIER_WIN_CH - 1) * chunk
+        sel = commit & (src >= lo) & (src < base + chunk)
+        colm = jnp.where(sel, src - lo, -1)
+        onehot_t = (colm == sub_w).astype(jnp.float32)  # [WIN*CH, 256]
+        route_acc = route_acc + jax.lax.dot_general(
+            moments, onehot_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        stale = commit & (src >= 0) & (src < lo)
+        stale_scr[:, pl.ds(slot, 1), :] = jnp.stack(
+            [s1, w, jnp.where(stale, src, -1).astype(jnp.float32)], axis=0
+        )
+        stale_flag = jnp.maximum(stale_flag, stale.astype(jnp.float32))
         T = jnp.where(commit, U, T)
-        return (T, acc_g, done)
+        return (T, acc_g, done), (route_acc, stale_flag)
 
-    def push_head(state, fh, pop_m, e_m):
+    def flush_acc(route_acc, base):
+        """Add the window accumulator's per-chunk parts into dseg. Parts for
+        negative chunks are identically zero (clamped to offset 0, no-op);
+        parts at or past seg_cap are truncation, skipped."""
+        for i in range(HIER_WIN_CH):
+            off = jnp.maximum(base - (HIER_WIN_CH - 1 - i) * chunk, 0)
+
+            @pl.when(off < seg_cap)
+            def _(off=off, i=i):
+                dseg[:, pl.ds(pl.multiple_of(off, chunk), chunk)] += (
+                    route_acc[:, i * chunk:(i + 1) * chunk]
+                )
+
+    def stale_pass(stale_flag):
+        """Replay staged stale pops through the dynamic routing loop — one
+        guard per chunk/drain phase instead of one per pop."""
+
+        @pl.when(jnp.max(stale_flag) > 0.0)
+        def _():
+            def stale_one(j, _):
+                row = stale_scr[:, pl.ds(j, 1), :][:, 0, :]
+                s1j, wj = row[0:1], row[1:2]
+                srcj = row[2:3].astype(jnp.int32)
+                wj = jnp.where(srcj >= 0, wj, 0.0)
+                moments = jnp.concatenate(
+                    [s1j * k1, wj * k2, mpad], axis=0
+                )
+                route = (srcj >= 0) & (srcj < seg_cap) & (wj > 0.0)
+                chunk_id = jnp.where(route, srcj // chunk, 0)
+                cmin = jnp.min(jnp.where(route, chunk_id, max_route))
+                cmax = jnp.max(jnp.where(route, chunk_id, -1))
+
+                def route_chunk(r, _):
+                    sel = route & (chunk_id == r)
+                    colm = jnp.where(sel, srcj - r * chunk, -1)
+                    onehot_t = (colm == sub1).astype(jnp.float32)
+                    dchunk = jax.lax.dot_general(
+                        moments, onehot_t,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    off = pl.multiple_of(r * chunk, chunk)
+                    dseg[:, pl.ds(off, chunk)] += dchunk
+                    return 0
+
+                jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
+                return 0
+
+            jax.lax.fori_loop(0, n_slots, stale_one, 0)
+
+    def push_head(state, fh, pop_m, e_m, rst, slot, base):
         # e_m rows: key, dh, a, c.g, src
         pop_h = pop_m & (fh == kh)
         new = list(e_m[1:])  # drop the mid key; dh becomes the head key
         e_h = _win_update(head, HEAD_B, pop_h, pop_m, new)
-        state = blend_grads(state, pop_h, e_h)
+        state, rst = blend_grads(state, pop_h, e_h, rst, slot, base)
         fh = fh + pop_m.astype(jnp.int32) - pop_h.astype(jnp.int32)
-        return state, fh
+        return state, fh, rst
 
-    def push_mid(state, fm, fh, pop_t, e_t):
+    def push_mid(state, fm, fh, pop_t, e_t, rst, slot, base):
         pop_m = pop_t & (fm == km)
         new = list(e_t[1:])  # drop the tail key; dm becomes the mid key
         e_m = _win_update(mid, MID_B, pop_m, pop_t, new)
-        state, fh = push_head(state, fh, pop_m, e_m)
+        state, fh, rst = push_head(state, fh, pop_m, e_m, rst, slot, base)
         fm = fm + pop_t.astype(jnp.int32) - pop_m.astype(jnp.int32)
-        return state, fm, fh
+        return state, fm, fh, rst
 
     def _ray_depth_rows(sc, vd):
         """Same formula (and operation order) as _ray_depth, on [1, 256]
@@ -821,7 +886,7 @@ def _bwd_kernel(
         )
         return num / jnp.maximum(RAY_DEPTH_DEN_FLOOR, den)
 
-    def pop_cascade(state, fm, fh, front, pop_t):
+    def pop_cascade(state, fm, fh, front, pop_t, rst, slot, base):
         """Unpack + recompute the popped tail entry (exact intake math),
         then feed the mid/head cascade with its 5 backward fields."""
         sc, src_row, pop_wide = _unpack_popped(front, pop_t)
@@ -835,10 +900,10 @@ def _bwd_kernel(
         a_eff = jnp.where(ok, alpha, 0.0)
         cg = sc[6] * g_r + sc[7] * g_g + sc[8] * g_b
         e_t = [None, d_mid, d_head, a_eff, cg, src_row]
-        return push_mid(state, fm, fh, pop_wide, e_t)
+        return push_mid(state, fm, fh, pop_wide, e_t, rst, slot, base)
 
     def consume(j, carry, base):
-        state, ft, fm, fh = carry
+        state, ft, fm, fh, rst = carry
         stg = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [5, 128] one load
         vt = stg[4:5] > 0.5
         pop_t = vt & (ft == kt)
@@ -848,9 +913,11 @@ def _bwd_kernel(
         )
         new = jnp.concatenate([stg[0:3], v3], axis=0)
         front = _packed_win_update(tail, kt, pop_t, vt, new)
-        state, fm, fh = pop_cascade(state, fm, fh, front, pop_t)
+        state, fm, fh, rst = pop_cascade(
+            state, fm, fh, front, pop_t, rst, j, base
+        )
         ft = ft + vt.astype(jnp.int32) - pop_t.astype(jnp.int32)
-        return state, ft, fm, fh
+        return state, ft, fm, fh, rst
 
     def body(kk, carry):
         slot = kk % 2
@@ -867,14 +934,25 @@ def _bwd_kernel(
         for i, r in enumerate(rows):
             ad_scr[i] = r
 
+        base = kk * chunk
+        rst0 = (
+            jnp.zeros((GRAD_ROWS, HIER_WIN_CH * chunk), jnp.float32),
+            jnp.zeros((1, TILE_PIXELS), jnp.float32),
+        )
+
         def quad(q, c):
             return jax.lax.fori_loop(
                 0, 4,
-                lambda j, cc: consume(q * 4 + j, cc, kk * chunk), c,
+                lambda j, cc: consume(q * 4 + j, cc, base), c,
                 unroll=4,
             )
 
-        return jax.lax.fori_loop(0, chunk // 4, quad, carry)
+        state, ft, fm, fh, (route_acc, stale_flag) = jax.lax.fori_loop(
+            0, chunk // 4, quad, carry + (rst0,)
+        )
+        flush_acc(route_acc, base)
+        stale_pass(stale_flag)
+        return state, ft, fm, fh
 
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
@@ -910,35 +988,49 @@ def _bwd_kernel(
     inf_new_m = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (MID_B - 1)
     nomask = jnp.zeros((1, TILE_PIXELS), bool)
 
-    def drain_tail(_, carry):
-        state, ft, fm, fh = carry
+    # Drains reuse the fast-path machinery: slots 0..kt+km+kh-1 stage any
+    # stale pops, replayed once at the end. Invalidate leftover stream-slot
+    # sources first so the final stale pass cannot double-route them.
+    stale_scr[2] = jnp.full((n_slots, TILE_PIXELS), -1.0)
+    base_d = jnp.maximum(k_end - 1, 0) * chunk
+    rst_d = (
+        jnp.zeros((GRAD_ROWS, HIER_WIN_CH * chunk), jnp.float32),
+        jnp.zeros((1, TILE_PIXELS), jnp.float32),
+    )
+
+    def drain_tail(i, carry):
+        state, ft, fm, fh, rst = carry
         pop_t = ft > 0
         front = _packed_win_update(
             tail, kt, pop_t, jnp.zeros((1, 128), bool), inf_new_t
         )
-        state, fm, fh = pop_cascade(state, fm, fh, front, pop_t)
+        state, fm, fh, rst = pop_cascade(
+            state, fm, fh, front, pop_t, rst, i, base_d
+        )
         ft = ft - pop_t.astype(jnp.int32)
-        return state, ft, fm, fh
+        return state, ft, fm, fh, rst
 
-    state, ft, fm, fh = jax.lax.fori_loop(
-        0, kt, drain_tail, (state, ft, fm, fh)
+    state, ft, fm, fh, rst_d = jax.lax.fori_loop(
+        0, kt, drain_tail, (state, ft, fm, fh, rst_d)
     )
 
-    def drain_mid(_, carry):
-        state, fm, fh = carry
+    def drain_mid(i, carry):
+        state, fm, fh, rst = carry
         pop_m = fm > 0
         e_m = _win_update(mid, MID_B, pop_m, nomask, inf_new_m)
-        state, fh = push_head(state, fh, pop_m, e_m)
+        state, fh, rst = push_head(state, fh, pop_m, e_m, rst, kt + i, base_d)
         fm = fm - pop_m.astype(jnp.int32)
-        return state, fm, fh
+        return state, fm, fh, rst
 
-    state, fm, fh = jax.lax.fori_loop(0, km, drain_mid, (state, fm, fh))
+    state, fm, fh, rst_d = jax.lax.fori_loop(
+        0, km, drain_mid, (state, fm, fh, rst_d)
+    )
 
-    def drain_head(_, carry):
-        state, fh = carry
+    def drain_head(i, carry):
+        state, fh, rst = carry
         pop_h = fh > 0
         e_h = [head[f, 0:1, :] for f in range(HEAD_B)]
-        state = blend_grads(state, pop_h, e_h)
+        state, rst = blend_grads(state, pop_h, e_h, rst, kt + km + i, base_d)
         for f in range(HEAD_B):
             x = head[f]
             pad = jnp.inf if f == 0 else 0.0
@@ -948,9 +1040,13 @@ def _bwd_kernel(
                 x,
             )
         fh = fh - pop_h.astype(jnp.int32)
-        return state, fh
+        return state, fh, rst
 
-    state, fh = jax.lax.fori_loop(0, kh, drain_head, (state, fh))
+    state, fh, rst_d = jax.lax.fori_loop(
+        0, kh, drain_head, (state, fh, rst_d)
+    )
+    flush_acc(rst_d[0], base_d)
+    stale_pass(rst_d[1])
 
     # Expand moments -> gradient rows chunk-by-chunk (re-fetching the payload
     # features double-buffered) and write back to HBM.
@@ -1034,6 +1130,9 @@ def blend_hier_backward(
             pltpu.VMEM((TAIL_PLANES, kt, 128), jnp.float32),
             pltpu.VMEM((MID_B, km, TILE_PIXELS), jnp.float32),
             pltpu.VMEM((HEAD_B, kh, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM(
+                (3, max(chunk, kt + km + kh), TILE_PIXELS), jnp.float32
+            ),  # stale stage: s1, w, src
             pltpu.VMEM((GRAD_ROWS, seg_cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,

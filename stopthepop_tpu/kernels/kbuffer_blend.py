@@ -421,9 +421,9 @@ def _bwd_kernel(
     fwd_ref,                                  # VMEM [1, 8, 256] forward packed
     grad_ref,                                 # VMEM [1, 8, 256] cotangent
     dpay_ref,                                 # HBM out [32, C_pad]
-    buf, ad_scr, dseg, sems, wsem,            # scratch
+    buf, ad_scr, stale_scr, dseg, sems, wsem,  # scratch
     *, k: int, chunk: int, seg_cap: int, grid_x: int,
-    width: int, height: int, _ablate: str = "",
+    width: int, height: int,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -475,68 +475,89 @@ def _bwd_kernel(
     def _():
         get_dma(0, 0).start()
 
-    def pop_grads(win, state, popm):
-        """Pop + blend + route the two pop scalars' moments. Returns
-        (win, state)."""
+    # One-hot matrices are built with the COLUMN index on sublanes and the
+    # pixel on lanes, and consumed by a dot_general contracting both
+    # operands' lane axes — a [1, 256] -> [256, 1] transpose of the source
+    # row per pop costs ~500 ns on this hardware (measured; it dominated an
+    # earlier formulation), while the broadcast compare is ~free.
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * chunk, TILE_PIXELS), 0)
+    sub1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_PIXELS), 0)
+
+    def emit_scalars(state, popm, a0, cdotg):
+        """Shared blend-state update: returns (state', commit, w, s1)."""
         fill, T, acc_g, nc, done = state
-        a0 = win["a"][0:1]
         U = T * (1.0 - a0)
         commit = popm & (done < 0.5) & (U >= T_THRESHOLD)
         done = jnp.maximum(done, (popm & (U < T_THRESHOLD)).astype(jnp.float32))
-        cdotg = win["cg"][0:1]
         w = jnp.where(commit, a0 * T, 0.0)
         acc_g = acc_g + w * cdotg
         suffix = ctot_g - acc_g
-        src = win["src"][0:1]  # [1, 256] int32 segment-local pair index
-
-        # Moment emission + routing is side-effect-only (dseg) — skip it
-        # entirely for pops where no pixel commits (window fill,
-        # post-saturation).
-        _run = jnp.any(commit) if _ablate != "noroute" else jnp.bool_(False)
-
-        @pl.when(_run)
-        def _():
-            galpha = jnp.where(
-                commit & (a0 < ALPHA_MAX),
-                cdotg * T - (suffix + KT) / (1.0 - a0),
-                0.0,
-            )
-            s1 = galpha * a0      # [1, 256]
-            moments = jnp.concatenate(
-                [s1 * k1, w * k2, mpad], axis=0
-            )  # [16, 256] — two broadcast multiplies, no feature algebra
-            route = commit & (src >= 0) & (src < seg_cap)
-            chunk_id = jnp.where(route, src // chunk, 0)
-            if _ablate == "fixedroute":
-                cmin, cmax = jnp.int32(0), jnp.int32(0)
-            else:
-                cmin = jnp.min(jnp.where(route, chunk_id, max_route))
-                cmax = jnp.max(jnp.where(route, chunk_id, -1))
-
-            def route_chunk(r, _):
-                sel = route & (chunk_id == r)
-                colm = jnp.where(sel, src - r * chunk, -1)  # [1, 256]
-                col_t = colm.T  # [256, 1]
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (TILE_PIXELS, chunk), 1
-                )
-                onehot = (col_t == lane).astype(jnp.float32)  # [256, CH]
-                dchunk = jax.lax.dot_general(
-                    moments, onehot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [16, CH]
-                off = pl.multiple_of(r * chunk, chunk)
-                dseg[:, pl.ds(off, chunk)] += dchunk
-                return 0
-
-            if _ablate == "nomatmul":
-                dseg[:, pl.ds(0, chunk)] += moments[:, 0:chunk]
-            else:
-                jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
-
+        galpha = jnp.where(
+            commit & (a0 < ALPHA_MAX),
+            cdotg * T - (suffix + KT) / (1.0 - a0),
+            0.0,
+        )
+        s1 = galpha * a0
         T = jnp.where(commit, U, T)
         nc = nc + commit.astype(jnp.float32)
+        return (fill, T, acc_g, nc, done), commit, w, s1
+
+    def route_slow(s1, w, src, lo, hi):
+        """Route moments for srcs in [lo, hi) via per-chunk one-hot matmuls
+        (dynamic loop — used only off the hot path: the rare stale pops and
+        the k drain pops)."""
+        moments = jnp.concatenate([s1 * k1, w * k2, mpad], axis=0)
+        route = (w > 0.0) & (src >= lo) & (src < hi) & (src < seg_cap)
+        chunk_id = jnp.where(route, src // chunk, 0)
+        cmin = jnp.min(jnp.where(route, chunk_id, max_route))
+        cmax = jnp.max(jnp.where(route, chunk_id, -1))
+
+        def route_chunk(r, _):
+            sel = route & (chunk_id == r)
+            colm = jnp.where(sel, src - r * chunk, -1)  # [1, 256]
+            onehot_t = (colm == sub1).astype(jnp.float32)  # [CH, 256]
+            dchunk = jax.lax.dot_general(
+                moments, onehot_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            off = pl.multiple_of(r * chunk, chunk)
+            dseg[:, pl.ds(off, chunk)] += dchunk
+            return 0
+
+        jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
+
+    def pop_grads(win, state, popm, route_acc, j, base):
+        """Pop + blend + branch-free moment routing.
+
+        Fast path: one unconditional one-hot matmul into the carried
+        [16, 2*chunk] accumulator spanning the previous + current stream
+        chunks (a per-pop data-dependent branch stalls the Mosaic pipeline
+        for ~an order of magnitude more than the matmul costs — measured).
+        Rarer, older sources are staged and routed once per chunk under a
+        single guard. Returns (win, state', route_acc', stale_any).
+        """
+        a0 = win["a"][0:1]
+        cdotg = win["cg"][0:1]
+        src = win["src"][0:1]  # [1, 256] int32 segment-local pair index
+        state, commit, w, s1 = emit_scalars(state, popm, a0, cdotg)
+
+        moments = jnp.concatenate([s1 * k1, w * k2, mpad], axis=0)
+        lo = (base - chunk)  # window start: previous chunk
+        sel = commit & (src >= lo) & (src < base + chunk)
+        colm = jnp.where(sel, src - lo, -1)
+        onehot_t = (colm == sub2).astype(jnp.float32)  # [2*CH, 256]
+        route_acc = route_acc + jax.lax.dot_general(
+            moments, onehot_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [16, 2*CH]
+
+        stale = commit & (src >= 0) & (src < lo)
+        stale_scr[:, pl.ds(j, 1), :] = jnp.stack(
+            [s1, w, jnp.where(stale, src, -1).astype(jnp.float32)],
+            axis=0,
+        )
 
         def shift(x, pad):
             shifted = jnp.concatenate(
@@ -548,17 +569,19 @@ def _bwd_kernel(
             kk: shift(v, jnp.inf if kk == "d" else (-1 if kk == "src" else 0.0))
             for kk, v in win.items()
         }
-        fill = fill - popm.astype(jnp.int32)
-        return win, (fill, T, acc_g, nc, done)
+        fill = state[0] - popm.astype(jnp.int32)
+        return win, (fill,) + state[1:], route_acc, stale.astype(jnp.float32)
 
     def consume(j, carry, base):
-        win, state = carry
+        win, state, route_acc, stale_any = carry
         # One dynamic-offset load for the whole entry (3 rows), not three.
         row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [3, 256]
         a_j = row[0:1]
         v = a_j > 0.0
         popm = (state[0] == k) & v
-        win, state = pop_grads(win, state, popm)
+        win, state, route_acc, st = pop_grads(
+            win, state, popm, route_acc, j, base
+        )
         srcv = jnp.full((1, TILE_PIXELS), 0, jnp.int32) + (base + j)
         new = {
             "d": row[1:2],
@@ -567,9 +590,10 @@ def _bwd_kernel(
             "src": srcv,
         }
         win, fill = _insert(win, state[0], v, new)
-        return win, (fill,) + state[1:]
+        return win, (fill,) + state[1:], route_acc, jnp.maximum(stale_any, st)
 
     def body(kk, carry):
+        win, state = carry
         slot = kk % 2
 
         @pl.when(kk + 1 < rounds)
@@ -590,14 +614,49 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )  # [CH, 256]
 
+        base = kk * chunk
+        racc0 = jnp.zeros((GRAD_ROWS, 2 * chunk), jnp.float32)
+
         def quad(q, c):
             return jax.lax.fori_loop(
                 0, 4,
-                lambda j, cc: consume(q * 4 + j, cc, kk * chunk), c,
+                lambda j, cc: consume(q * 4 + j, cc, base), c,
                 unroll=4,
             )
 
-        return jax.lax.fori_loop(0, chunk // 4, quad, carry)
+        win, state, route_acc, stale_any = jax.lax.fori_loop(
+            0, chunk // 4, quad,
+            (win, state, racc0, jnp.zeros((1, TILE_PIXELS), jnp.float32)),
+        )
+
+        # Flush the two-chunk accumulator: its left half is chunk kk-1
+        # (clamped to 0 at kk=0, where that half is identically zero) and
+        # its right half is chunk kk. Offsets at or past seg_cap are
+        # truncation (reported upstream via grad_overflow) — skip them.
+        def flush(off, half):
+            @pl.when(off < seg_cap)
+            def _():
+                dseg[:, pl.ds(pl.multiple_of(off, chunk), chunk)] += half
+
+        flush(jnp.maximum(kk - 1, 0) * chunk, route_acc[:, 0:chunk])
+        flush(kk * chunk, route_acc[:, chunk:2 * chunk])
+
+        # Rare: pops whose source predates the two-chunk window — replay
+        # their staged scalars through the dynamic routing loop, one guard
+        # per chunk instead of one per pop.
+        @pl.when(jnp.max(stale_any) > 0.0)
+        def _():
+            def stale_one(j, _):
+                row = stale_scr[:, pl.ds(j, 1), :][:, 0, :]
+                s1j, wj = row[0:1], row[1:2]
+                srcj = row[2:3].astype(jnp.int32)
+                wj = jnp.where(srcj >= 0, wj, 0.0)
+                route_slow(s1j, wj, srcj, 0, base - chunk)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, stale_one, 0)
+
+        return win, state
 
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
@@ -637,7 +696,24 @@ def _bwd_kernel(
     def drain(_, carry):
         win, state = carry
         popm = state[0] > 0
-        return pop_grads(win, state, popm)
+        a0 = win["a"][0:1]
+        cdotg = win["cg"][0:1]
+        src = win["src"][0:1]
+        state, commit, w, s1 = emit_scalars(state, popm, a0, cdotg)
+        route_slow(s1, w, src, 0, seg_cap)
+
+        def shift(x, pad):
+            shifted = jnp.concatenate(
+                [x[1:], jnp.full_like(x[:1], pad)], axis=0
+            )
+            return jnp.where(popm, shifted, x)
+
+        win = {
+            kk: shift(v, jnp.inf if kk == "d" else (-1 if kk == "src" else 0.0))
+            for kk, v in win.items()
+        }
+        fill = state[0] - popm.astype(jnp.int32)
+        return win, (fill,) + state[1:]
 
     win, state = jax.lax.fori_loop(0, k, drain, (win, state))
 
@@ -692,14 +768,13 @@ def blend_kbuffer_backward(
     chunk: int = 128,
     seg_cap: int = 16384,
     interpret: bool = False,
-    _ablate: str = "",
 ):
     """Returns d_payload [32, C_pad] (rows 0..8; only segment prefixes of
     length <= seg_cap are written — zero the rest outside)."""
     num_tiles = grid_x * grid_y
     kernel = functools.partial(
         _bwd_kernel, k=k, chunk=chunk, seg_cap=seg_cap, grid_x=grid_x,
-        width=width, height=height, _ablate=_ablate,
+        width=width, height=height,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -719,6 +794,7 @@ def blend_kbuffer_backward(
         scratch_shapes=[
             pltpu.VMEM((2, KB_PAYLOAD_F, chunk), jnp.float32),
             pltpu.VMEM((_BWD_STAGE, chunk, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((3, chunk, TILE_PIXELS), jnp.float32),  # stale stage
             pltpu.VMEM((GRAD_ROWS, seg_cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
