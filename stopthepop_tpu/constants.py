@@ -51,3 +51,8 @@ INVALID_TILE_ID = 0x7FFFFFFF
 # Default capacity multiplier for the static duplication buffer:
 # capacity = ceil(PAIR_CAPACITY_FACTOR * P) unless overridden.
 PAIR_CAPACITY_FACTOR = 16
+
+# Batch size of the hierarchical tail's sort+merge window (entries consumed
+# per tail round; the reference's analogous batcher cadence is 32,
+# hierarchical_render.cuh:158-192 — 64 here fills half a stream chunk).
+TAIL_BATCH = 64

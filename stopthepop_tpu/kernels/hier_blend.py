@@ -36,10 +36,12 @@ from ..constants import (
     ALPHA_THRESHOLD,
     RAY_DEPTH_DEN_FLOOR,
     T_THRESHOLD,
+    TAIL_BATCH,
     TILE_PIXELS,
     TILE_X,
     TILE_Y,
 )
+from .full_blend import _bitonic_planes
 from .kbuffer_blend import (
     KB_PAYLOAD_F,
     _tile_pixels_lanes,
@@ -281,71 +283,115 @@ def _intake_packed(data, cam_ref, tx, ty, count_rem, width, height,
     v3 = jnp.take_along_axis(dataT, jnp.minimum(16 + f, 17), axis=1)
 
     # Sub-tile rows -> packed lanes (replicate x8): idx = q // 8 < 16.
+    # Invalid entries carry a -inf key: they sort to the front of the tail's
+    # batched merge and are masked out at mid entry ("ghosts").
     sub = q // 8
-    keyT = jnp.pad(d_tail16.T, ((0, 0), (0, 128 - 16)))      # [CH, 128]
+    key16 = jnp.where(v16, d_tail16, -jnp.inf)
+    keyT = jnp.pad(key16.T, ((0, 0), (0, 128 - 16)))         # [CH, 128]
     key = jnp.take_along_axis(keyT, sub, axis=1)
     vtT = jnp.pad(v16.astype(jnp.float32).T, ((0, 0), (0, 128 - 16)))
     vt = jnp.take_along_axis(vtT, sub, axis=1)
     return key, v1, v2, v3, vt
 
 
-def _packed_win_update(tail, kt, popm, v, new):
-    """Fused front-pop + sorted-insert on the packed tail planes.
+def _next_pow2(n: int) -> int:
+    m = 1
+    while m < n:
+        m *= 2
+    return m
 
-    tail: VMEM ref [4, kt, 128]; popm/v: [1, 128] group-replicated masks;
-    new: [PK_STAGE, 128] staging row (planes 0..3 used). Returns the popped
-    front [4, 128] (read before mutation).
+
+def _bitonic_merge(planes, M):
+    """Ascending merge of a bitonic sequence (the final bitonic-sort phase):
+    log2(M) compare-exchange stages, per-lane independent."""
+    L = planes[0].shape[1]
+    s = M // 2
+    while s >= 1:
+        m = M // (2 * s)
+
+        def rs(x):
+            return x.reshape(m, 2, s, L)
+
+        key = rs(planes[0])
+        lo, hi = key[:, 0], key[:, 1]
+        swap = lo > hi
+        out = []
+        for p in planes:
+            pr = rs(p)
+            plo, phi = pr[:, 0], pr[:, 1]
+            nlo = jnp.where(swap, phi, plo)
+            nhi = jnp.where(swap, plo, phi)
+            out.append(jnp.stack([nlo, nhi], axis=1).reshape(M, L))
+        planes = out
+        s //= 2
+    return planes
+
+
+def _tail_round(tail, incoming, kt):
+    """One batched tail round: sort TAIL_BATCH incoming packed entries by
+    key (plane 0; -inf = ghost/invalid), bitonic-merge with the sorted hold
+    in the tail scratch, emit the nearest TAIL_BATCH rows and keep the
+    farthest kt as the new hold.
+
+    The -inf ghosts (and the hold's initial -inf "bubbles") sort to the
+    emission's front and are masked at mid entry, which makes the emit/hold
+    split a STATIC slice while preserving exact window-of-kt semantics: the
+    number of real entries emitted is max(reals - kt, 0). This replaces the
+    per-entry sliding insert (O(kt) plane-touches per pair) with
+    O((kt + B) log B / B) per pair — and is the reference's own batch
+    cadence (batcherSort + mergeSortRegToSmem,
+    hierarchical_render.cuh:158-192, 24-70).
+
+    incoming: [TAIL_PLANES, B, 128] (planes 1..3 = packed values).
+    Returns the emitted planes [TAIL_PLANES, B, 128], sorted ascending.
     """
-    front = tail[:, 0, :]                                    # [4, 128]
-    key = tail[0]
-    key1 = jnp.where(
-        popm,
-        jnp.concatenate([key[1:], jnp.full_like(key[:1], jnp.inf)], axis=0),
-        key,
-    )
-    pos = jnp.sum((key1 <= new[0:1]).astype(jnp.int32), axis=0,
-                  keepdims=True)
-    ik = jax.lax.broadcasted_iota(jnp.int32, (kt, 128), 0)
-
-    def upd(x, nv, pad):
-        x1 = jnp.where(
-            popm,
-            jnp.concatenate([x[1:], jnp.full_like(x[:1], pad)], axis=0),
-            x,
-        )
-        shifted = jnp.concatenate([x1[:1], x1[:-1]], axis=0)
-        x2 = jnp.where(ik < pos, x1, jnp.where(ik == pos, nv, shifted))
-        return jnp.where(v, x2, x1)
-
-    tail[0] = upd(key, new[0:1], jnp.inf)
-    for pp in range(1, TAIL_PLANES):
-        tail[pp] = upd(tail[pp], new[pp:pp + 1], 0.0)
-    return front
+    B = TAIL_BATCH
+    planes_in = _bitonic_planes([incoming[p] for p in range(TAIL_PLANES)], B)
+    M = _next_pow2(kt + B)
+    pad_rows = M - kt - B
+    merged = []
+    for p in range(TAIL_PLANES):
+        fill = jnp.inf if p == 0 else 0.0
+        parts = [tail[p]]
+        if pad_rows:
+            parts.append(jnp.full((pad_rows, 128), fill, jnp.float32))
+        # hold (asc) ++ pads (+inf) ++ reversed incoming (desc) is bitonic.
+        parts.append(jnp.flip(planes_in[p], axis=0))
+        merged.append(jnp.concatenate(parts, axis=0))
+    merged = _bitonic_merge(merged, M)
+    for p in range(TAIL_PLANES):
+        tail[p] = merged[p][B:B + kt]
+    return [m[:B] for m in merged]
 
 
-def _unpack_popped(front, popm):
-    """Packed front [4, 128] -> 18 group-replicated [1, 256] scalar rows
-    plus the pop mask widened to [1, 256].
+def _unpack_batch(emit, vmask):
+    """Packed emitted batch (list of [B, 128] planes) -> 18 scalar rows of
+    [B, 256] (group-replicated per sub-tile), plus the source row and the
+    valid mask widened to [B, 256].
 
-    Single-vreg lane gathers: output lane p (subtile p // 16, field f) reads
-    source lane (p // 16) * 8 + f; done in two 128-lane halves.
+    Single-vreg lane gathers batched over the B entries: output lane p
+    (sub-tile p // 16, field f) reads source lane (p // 16) * 8 + f within
+    each 128-lane half.
     """
+    B = emit[0].shape[0]
     op_a = jnp.concatenate(
         [
-            jnp.broadcast_to(front[1:2, :], (8, 128)),
-            jnp.broadcast_to(front[2:3, :], (8, 128)),
+            jnp.broadcast_to(emit[1][:, None, :], (B, 8, 128)),
+            jnp.broadcast_to(emit[2][:, None, :], (B, 8, 128)),
         ],
-        axis=0,
-    )  # [16, 128] rows r: field r of plane 1/2
+        axis=1,
+    )  # [B, 16, 128] rows r: field r of plane 1/2
     r16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
     q16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
     op_b = jnp.concatenate(
         [
-            jnp.broadcast_to(front[3:4, :], (4, 128)),
-            jnp.broadcast_to(popm.astype(jnp.float32), (4, 128)),
+            jnp.broadcast_to(emit[3][:, None, :], (B, 4, 128)),
+            jnp.broadcast_to(
+                vmask.astype(jnp.float32)[:, None, :], (B, 4, 128)
+            ),
         ],
-        axis=0,
-    )  # [8, 128] rows 0-3: plane-3 fields, rows 4-7: pop mask
+        axis=1,
+    )  # [B, 8, 128] rows 0-3: plane-3 fields, rows 4-7: valid mask
     r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     q8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
@@ -356,24 +402,24 @@ def _unpack_popped(front, popm):
         # subtile * 8 + field, which stays inside this half's 64-lane span.
         sub_a = (q16 // 64) * 4 + (q16 % 16) // 4
         idx_a = h * 64 + sub_a * 8 + (r16 % 8)
-        halves_a.append(jnp.take_along_axis(op_a, idx_a, axis=1))
+        halves_a.append(jnp.take_along_axis(op_a, idx_a[None], axis=2))
         sub_b = (q8 // 64) * 4 + (q8 % 16) // 4
         idx_b = h * 64 + sub_b * 8 + jnp.minimum(r8, 2)
-        halves_b.append(jnp.take_along_axis(op_b, idx_b, axis=1))
-    wide_a = jnp.concatenate(halves_a, axis=1)               # [16, 256]
-    wide_b = jnp.concatenate(halves_b, axis=1)               # [8, 256]
-    rows = [wide_a[i:i + 1, :] for i in range(16)]
-    rows += [wide_b[0:1, :], wide_b[1:2, :]]                 # u1, u2
-    src_row = wide_b[2:3, :]                                 # plane-3 f2
-    popm_wide = wide_b[4:5, :] > 0.5
-    return rows, src_row, popm_wide
+        halves_b.append(jnp.take_along_axis(op_b, idx_b[None], axis=2))
+    wide_a = jnp.concatenate(halves_a, axis=2)               # [B, 16, 256]
+    wide_b = jnp.concatenate(halves_b, axis=2)               # [B, 8, 256]
+    rows = [wide_a[:, i, :] for i in range(16)]
+    rows += [wide_b[:, 0, :], wide_b[:, 1, :]]               # u1, u2
+    src_row = wide_b[:, 2, :]                                # plane-3 f2
+    v_wide = wide_b[:, 4, :] > 0.5
+    return rows, src_row, v_wide
 
 
 def _fwd_kernel(
     starts_ref, counts_ref, bg_ref, cam_ref,  # scalar prefetch
     payload_ref,                              # HBM [32, C_pad]
     out_ref,                                  # VMEM [1, 8, 256]
-    buf, ad_scr, tail, mid, head, sems,       # scratch
+    buf, ad_scr, tail, mid, head, casc_scr, sems,  # scratch
     *, kt: int, km: int, kh: int, chunk: int, grid_x: int,
     width: int, height: int, hier_4x4_culling: bool,
 ):
@@ -384,9 +430,10 @@ def _fwd_kernel(
     tx = t % grid_x
     ty = t // grid_x
 
-    # Reset the persistent window scratch for this tile.
+    # Reset the persistent window scratch for this tile. The tail hold
+    # starts as -inf "bubbles" (see _tail_round).
     tail[...] = jnp.zeros((TAIL_PLANES, kt, 128))
-    tail[0] = jnp.full((kt, 128), jnp.inf)
+    tail[0] = jnp.full((kt, 128), -jnp.inf)
     mid[...] = jnp.zeros((MID_F, km, TILE_PIXELS))
     mid[0] = jnp.full((km, TILE_PIXELS), jnp.inf)
     head[...] = jnp.zeros((HEAD_F, kh, TILE_PIXELS))
@@ -445,14 +492,15 @@ def _fwd_kernel(
         )
         return num / jnp.maximum(RAY_DEPTH_DEN_FLOOR, den)
 
-    def pop_cascade(state, fm, fh, front, pop_t):
-        """Unpack the popped tail entry, recompute its per-pixel values
-        (exactly the old intake math), and feed the mid/head cascade."""
-        rows, _, pop_wide = _unpack_popped(front, pop_t)
-        # rows: 0 x | 1 y | 2 ca | 3 cb | 4 cc | 5 opw | 6 r | 7 g | 8 b |
-        #       9..14 inv-cov | 15 u0 | 16 u1 | 17 u2
-        # Reorder to payload order for the ray-depth helper.
-        sc = rows[:9] + rows[9:15] + [rows[15], rows[16], rows[17]]
+    def tail_and_cascade(incoming, carry):
+        """One tail round (sort + merge + static emit) followed by batched
+        unpack/recompute and the per-entry mid/head cascade."""
+        emit = _tail_round(tail, incoming, kt)
+        vmask = jnp.isfinite(emit[0])  # ghosts (-inf) and drain pads (+inf)
+        sc, _, v_wide = _unpack_batch(emit, vmask)
+        # sc: 0 x | 1 y | 2 ca | 3 cb | 4 cc | 5 opw | 6 r | 7 g | 8 b |
+        #     9..14 inv-cov | 15 u0 | 16 u1 | 17 u2 — all [B, 256], so the
+        # recompute runs at full sublane occupancy for the whole batch.
         d_head = _ray_depth_rows(sc, vdh)
         d_mid = _ray_depth_rows(sc, vdm)
         dxp = sc[0] - plx
@@ -461,18 +509,23 @@ def _fwd_kernel(
         alpha = jnp.minimum(ALPHA_MAX, sc[5] * jnp.exp(-factor))
         ok = (factor >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (d_head >= 0.0)
         a_eff = jnp.where(ok, alpha, 0.0)
-        e_t = [None, d_mid, d_head, a_eff, sc[6], sc[7], sc[8]]
-        return push_mid(state, fm, fh, pop_wide, e_t)
+        casc_scr[0] = v_wide.astype(jnp.float32)
+        casc_scr[1] = d_mid
+        casc_scr[2] = d_head
+        casc_scr[3] = a_eff
+        casc_scr[4] = sc[6]
+        casc_scr[5] = sc[7]
+        casc_scr[6] = sc[8]
 
-    def consume(j, carry):
-        state, ft, fm, fh = carry
-        stg = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [5, 128] one load
-        vt = stg[4:5] > 0.5
-        pop_t = vt & (ft == kt)
-        front = _packed_win_update(tail, kt, pop_t, vt, stg)
-        state, fm, fh = pop_cascade(state, fm, fh, front, pop_t)
-        ft = ft + vt.astype(jnp.int32) - pop_t.astype(jnp.int32)
-        return state, ft, fm, fh
+        def one(e, c):
+            state, fm, fh = c
+            row = casc_scr[:, pl.ds(e, 1), :][:, 0, :]  # [7, 256] one load
+            v = row[0:1] > 0.5
+            e_t = [None, row[1:2], row[2:3], row[3:4], row[4:5], row[5:6],
+                   row[6:7]]
+            return push_mid(state, fm, fh, v, e_t)
+
+        return jax.lax.fori_loop(0, TAIL_BATCH, one, carry, unroll=2)
 
     def body(kk, carry):
         slot = kk % 2
@@ -489,16 +542,16 @@ def _fwd_kernel(
         for i, r in enumerate(rows):
             ad_scr[i] = r
 
-        def quad(q, c):
-            return jax.lax.fori_loop(
-                0, 4, lambda j, cc: consume(q * 4 + j, cc), c, unroll=4
-            )
-
-        return jax.lax.fori_loop(0, chunk // 4, quad, carry)
+        for half in range(chunk // TAIL_BATCH):
+            incoming = [
+                ad_scr[p, half * TAIL_BATCH:(half + 1) * TAIL_BATCH, :]
+                for p in range(TAIL_PLANES)
+            ]
+            carry = tail_and_cascade(incoming, carry)
+        return carry
 
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
-    zi128 = jnp.zeros((1, 128), jnp.int32)
     zi = jnp.zeros((1, TILE_PIXELS), jnp.int32)
     state0 = (ones, zeros, zeros, zeros, zeros, zeros, zeros)
 
@@ -506,43 +559,30 @@ def _fwd_kernel(
     # latch, so once every pixel saturates the rest of the stream is dead
     # work; the scalar while-condition amortizes over a whole chunk).
     def rcond(carry):
-        kk, (state, ft, fm, fh) = carry
+        kk, (state, fm, fh) = carry
         return (kk < rounds) & (jnp.min(state[5]) < 0.5)
 
     def rbody(carry):
         kk, c = carry
         return kk + 1, body(kk, c)
 
-    k_end, (state, ft, fm, fh) = jax.lax.while_loop(
-        rcond, rbody, (jnp.int32(0), (state0, zi128, zi, zi))
+    k_end, (state, fm, fh) = jax.lax.while_loop(
+        rcond, rbody, (jnp.int32(0), (state0, zi, zi))
     )
 
     @pl.when(k_end < rounds)
     def _():
         get_dma(k_end % 2, k_end).wait()
 
-    inf_new_t = jnp.concatenate(
-        [
-            jnp.full((1, 128), jnp.inf),
-            jnp.zeros((PK_STAGE - 1, 128), jnp.float32),
-        ],
-        axis=0,
-    )
     inf_new_m = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (MID_F - 1)
 
-    def drain_tail(_, carry):
-        state, ft, fm, fh = carry
-        pop_t = ft > 0
-        front = _packed_win_update(
-            tail, kt, pop_t, jnp.zeros((1, 128), bool), inf_new_t
-        )
-        state, fm, fh = pop_cascade(state, fm, fh, front, pop_t)
-        ft = ft - pop_t.astype(jnp.int32)
-        return state, ft, fm, fh
-
-    state, ft, fm, fh = jax.lax.fori_loop(
-        0, kt, drain_tail, (state, ft, fm, fh)
-    )
+    # Tail drain: +inf incoming pads push every held real entry out.
+    drain_in = [
+        jnp.full((TAIL_BATCH, 128), jnp.inf if p == 0 else 0.0, jnp.float32)
+        for p in range(TAIL_PLANES)
+    ]
+    for _ in range(-(-kt // TAIL_BATCH)):
+        state, fm, fh = tail_and_cascade(drain_in, (state, fm, fh))
 
     def drain_mid(_, carry):
         state, fm, fh = carry
@@ -628,6 +668,7 @@ def blend_hier_forward(
             pltpu.VMEM((TAIL_PLANES, kt, 128), jnp.float32),
             pltpu.VMEM((MID_F, km, TILE_PIXELS), jnp.float32),
             pltpu.VMEM((HEAD_F, kh, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((7, TAIL_BATCH, TILE_PIXELS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -677,7 +718,7 @@ def _bwd_kernel(
     fwd_ref,                                  # VMEM [1, 8, 256]
     grad_ref,                                 # VMEM [1, 8, 256]
     dpay_ref,                                 # HBM out [32, C_pad]
-    buf, ad_scr, tail, mid, head, stale_scr, dseg, sems, wsem,  # scratch
+    buf, ad_scr, tail, mid, head, casc_scr, stale_scr, dseg, sems, wsem,
     *, kt: int, km: int, kh: int, chunk: int, seg_cap: int, grid_x: int,
     width: int, height: int, hier_4x4_culling: bool,
 ):
@@ -718,7 +759,7 @@ def _bwd_kernel(
     mpad = jnp.zeros((GRAD_ROWS - 9, TILE_PIXELS), jnp.float32)
 
     tail[...] = jnp.zeros((TAIL_PLANES, kt, 128))
-    tail[0] = jnp.full((kt, 128), jnp.inf)
+    tail[0] = jnp.full((kt, 128), -jnp.inf)  # bubbles (see _tail_round)
     mid[...] = jnp.zeros((MID_B, km, TILE_PIXELS))
     mid[0] = jnp.full((km, TILE_PIXELS), jnp.inf)
     head[...] = jnp.zeros((HEAD_B, kh, TILE_PIXELS))
@@ -734,7 +775,6 @@ def _bwd_kernel(
     qd_x = jnp.floor(plx / 2.0) * 2.0 + 0.5
     qd_y = jnp.floor(ply / 2.0) * 2.0 + 0.5
     vdm = _view_rays(cam_ref, qd_x, qd_y, width, height)
-    lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) % 8
 
     def get_dma(slot, kk):
         offset = pl.multiple_of(start + kk * chunk, chunk)
@@ -886,10 +926,13 @@ def _bwd_kernel(
         )
         return num / jnp.maximum(RAY_DEPTH_DEN_FLOOR, den)
 
-    def pop_cascade(state, fm, fh, front, pop_t, rst, slot, base):
-        """Unpack + recompute the popped tail entry (exact intake math),
-        then feed the mid/head cascade with its 5 backward fields."""
-        sc, src_row, pop_wide = _unpack_popped(front, pop_t)
+    def tail_and_cascade(incoming, carry, slot_base, base):
+        """One batched tail round, then the per-entry mid/head cascade with
+        gradient routing (see the forward's tail_and_cascade)."""
+        state, fm, fh, rst = carry
+        emit = _tail_round(tail, incoming, kt)
+        vmask = jnp.isfinite(emit[0])
+        sc, src_row, v_wide = _unpack_batch(emit, vmask)
         d_head = _ray_depth_rows(sc, vdh)
         d_mid = _ray_depth_rows(sc, vdm)
         dxp = sc[0] - plx
@@ -899,25 +942,23 @@ def _bwd_kernel(
         ok = (factor >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (d_head >= 0.0)
         a_eff = jnp.where(ok, alpha, 0.0)
         cg = sc[6] * g_r + sc[7] * g_g + sc[8] * g_b
-        e_t = [None, d_mid, d_head, a_eff, cg, src_row]
-        return push_mid(state, fm, fh, pop_wide, e_t, rst, slot, base)
+        casc_scr[0] = v_wide.astype(jnp.float32)
+        casc_scr[1] = d_mid
+        casc_scr[2] = d_head
+        casc_scr[3] = a_eff
+        casc_scr[4] = cg
+        casc_scr[5] = src_row
 
-    def consume(j, carry, base):
-        state, ft, fm, fh, rst = carry
-        stg = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [5, 128] one load
-        vt = stg[4:5] > 0.5
-        pop_t = vt & (ft == kt)
-        # Fold the stream position into plane-3 field 2 (exact below 2^24).
-        v3 = jnp.where(
-            lane_f == 2, jnp.float32(0.0) + (base + j), stg[3:4]
+        def one(e, c):
+            state, fm, fh, rst = c
+            row = casc_scr[:, pl.ds(e, 1), :][:, 0, :]  # [6, 256] one load
+            v = row[0:1] > 0.5
+            e_t = [None, row[1:2], row[2:3], row[3:4], row[4:5], row[5:6]]
+            return push_mid(state, fm, fh, v, e_t, rst, slot_base + e, base)
+
+        return jax.lax.fori_loop(
+            0, TAIL_BATCH, one, (state, fm, fh, rst), unroll=2
         )
-        new = jnp.concatenate([stg[0:3], v3], axis=0)
-        front = _packed_win_update(tail, kt, pop_t, vt, new)
-        state, fm, fh, rst = pop_cascade(
-            state, fm, fh, front, pop_t, rst, j, base
-        )
-        ft = ft + vt.astype(jnp.int32) - pop_t.astype(jnp.int32)
-        return state, ft, fm, fh, rst
 
     def body(kk, carry):
         slot = kk % 2
@@ -933,63 +974,59 @@ def _bwd_kernel(
         )
         for i, r in enumerate(rows):
             ad_scr[i] = r
-
         base = kk * chunk
+        # Fold the stream position into plane-3 field 2 (exact below 2^24)
+        # for the whole chunk at once.
+        rowpos = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 0)
+        srcval = (base + rowpos).astype(jnp.float32)
+        lane_f2 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1) % 8
+        ad_scr[3] = jnp.where(lane_f2 == 2, srcval, ad_scr[3])
+
         rst0 = (
             jnp.zeros((GRAD_ROWS, HIER_WIN_CH * chunk), jnp.float32),
             jnp.zeros((1, TILE_PIXELS), jnp.float32),
         )
-
-        def quad(q, c):
-            return jax.lax.fori_loop(
-                0, 4,
-                lambda j, cc: consume(q * 4 + j, cc, base), c,
-                unroll=4,
-            )
-
-        state, ft, fm, fh, (route_acc, stale_flag) = jax.lax.fori_loop(
-            0, chunk // 4, quad, carry + (rst0,)
-        )
+        state, fm, fh = carry
+        c = (state, fm, fh, rst0)
+        for half in range(chunk // TAIL_BATCH):
+            incoming = [
+                ad_scr[p, half * TAIL_BATCH:(half + 1) * TAIL_BATCH, :]
+                for p in range(TAIL_PLANES)
+            ]
+            c = tail_and_cascade(incoming, c, half * TAIL_BATCH, base)
+        state, fm, fh, (route_acc, stale_flag) = c
         flush_acc(route_acc, base)
         stale_pass(stale_flag)
-        return state, ft, fm, fh
+        return state, fm, fh
 
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
     zi = jnp.zeros((1, TILE_PIXELS), jnp.int32)
-    zi128 = jnp.zeros((1, 128), jnp.int32)
     state0 = (ones, zeros, zeros)  # T, acc.g, done
 
     # Round-level early termination mirroring the forward (dseg was
     # pre-zeroed, so skipped rounds still write zero gradients back).
     def rcond(carry):
-        kk, (state, ft, fm, fh) = carry
+        kk, (state, fm, fh) = carry
         return (kk < rounds) & (jnp.min(state[2]) < 0.5)
 
     def rbody(carry):
         kk, c = carry
         return kk + 1, body(kk, c)
 
-    k_end, (state, ft, fm, fh) = jax.lax.while_loop(
-        rcond, rbody, (jnp.int32(0), (state0, zi128, zi, zi))
+    k_end, (state, fm, fh) = jax.lax.while_loop(
+        rcond, rbody, (jnp.int32(0), (state0, zi, zi))
     )
 
     @pl.when(k_end < rounds)
     def _():
         get_dma(k_end % 2, k_end).wait()
 
-    inf_new_t = jnp.concatenate(
-        [
-            jnp.full((1, 128), jnp.inf),
-            jnp.zeros((PK_STAGE - 1, 128), jnp.float32),
-        ],
-        axis=0,
-    )
     inf_new_m = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (MID_B - 1)
     nomask = jnp.zeros((1, TILE_PIXELS), bool)
 
-    # Drains reuse the fast-path machinery: slots 0..kt+km+kh-1 stage any
-    # stale pops, replayed once at the end. Invalidate leftover stream-slot
+    # Drains reuse the fast-path machinery: dedicated stale slots per drain
+    # phase, replayed once at the end. Invalidate leftover stream-slot
     # sources first so the final stale pass cannot double-route them.
     stale_scr[2] = jnp.full((n_slots, TILE_PIXELS), -1.0)
     base_d = jnp.maximum(k_end - 1, 0) * chunk
@@ -998,27 +1035,24 @@ def _bwd_kernel(
         jnp.zeros((1, TILE_PIXELS), jnp.float32),
     )
 
-    def drain_tail(i, carry):
-        state, ft, fm, fh, rst = carry
-        pop_t = ft > 0
-        front = _packed_win_update(
-            tail, kt, pop_t, jnp.zeros((1, 128), bool), inf_new_t
-        )
-        state, fm, fh, rst = pop_cascade(
-            state, fm, fh, front, pop_t, rst, i, base_d
-        )
-        ft = ft - pop_t.astype(jnp.int32)
-        return state, ft, fm, fh, rst
-
-    state, ft, fm, fh, rst_d = jax.lax.fori_loop(
-        0, kt, drain_tail, (state, ft, fm, fh, rst_d)
-    )
+    # Tail drain: +inf incoming pads push every held real entry out.
+    drain_in = [
+        jnp.full((TAIL_BATCH, 128), jnp.inf if p == 0 else 0.0, jnp.float32)
+        for p in range(TAIL_PLANES)
+    ]
+    n_tail_drains = -(-kt // TAIL_BATCH)
+    c = (state, fm, fh, rst_d)
+    for d in range(n_tail_drains):
+        c = tail_and_cascade(drain_in, c, d * TAIL_BATCH, base_d)
+    state, fm, fh, rst_d = c
+    drain_slot0 = n_tail_drains * TAIL_BATCH
 
     def drain_mid(i, carry):
         state, fm, fh, rst = carry
         pop_m = fm > 0
         e_m = _win_update(mid, MID_B, pop_m, nomask, inf_new_m)
-        state, fh, rst = push_head(state, fh, pop_m, e_m, rst, kt + i, base_d)
+        state, fh, rst = push_head(state, fh, pop_m, e_m, rst,
+                                   drain_slot0 + i, base_d)
         fm = fm - pop_m.astype(jnp.int32)
         return state, fm, fh, rst
 
@@ -1030,7 +1064,8 @@ def _bwd_kernel(
         state, fh, rst = carry
         pop_h = fh > 0
         e_h = [head[f, 0:1, :] for f in range(HEAD_B)]
-        state, rst = blend_grads(state, pop_h, e_h, rst, kt + km + i, base_d)
+        state, rst = blend_grads(state, pop_h, e_h, rst,
+                                 drain_slot0 + km + i, base_d)
         for f in range(HEAD_B):
             x = head[f]
             pad = jnp.inf if f == 0 else 0.0
@@ -1130,8 +1165,11 @@ def blend_hier_backward(
             pltpu.VMEM((TAIL_PLANES, kt, 128), jnp.float32),
             pltpu.VMEM((MID_B, km, TILE_PIXELS), jnp.float32),
             pltpu.VMEM((HEAD_B, kh, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((6, TAIL_BATCH, TILE_PIXELS), jnp.float32),
             pltpu.VMEM(
-                (3, max(chunk, kt + km + kh), TILE_PIXELS), jnp.float32
+                (3, max(chunk, -(-kt // TAIL_BATCH) * TAIL_BATCH + km + kh),
+                 TILE_PIXELS),
+                jnp.float32,
             ),  # stale stage: s1, w, src
             pltpu.VMEM((GRAD_ROWS, seg_cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

@@ -24,7 +24,14 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GlobalSortOrder
-from ..constants import ALPHA_MAX, ALPHA_THRESHOLD, T_THRESHOLD, TILE_X, TILE_Y
+from ..constants import (
+    ALPHA_MAX,
+    ALPHA_THRESHOLD,
+    T_THRESHOLD,
+    TAIL_BATCH,
+    TILE_X,
+    TILE_Y,
+)
 from ..ops.stopthepop import (
     depth_along_ray,
     max_contrib_power_rect,
@@ -691,15 +698,8 @@ def render_hierarchical_naive(
         w.update({f: jnp.zeros((k, N)) for f in fields})
         return w
 
-    tail0 = empty_win(kt, ("dm", "dh", "a", "r", "g", "b"))
     mid0 = empty_win(km, ("dh", "a", "r", "g", "b"))
     head0 = empty_win(kh, ("a", "r", "g", "b"))
-    zi = jnp.zeros((N,), jnp.int32)
-    state0 = (
-        tail0, mid0, head0, zi, zi, zi,
-        jnp.ones((N,), jnp.float32), jnp.zeros((N, 3), jnp.float32),
-        zi, jnp.zeros((N,), bool),
-    )
 
     def push_head(mid, head, fh, T, C, nc, done, pop_m):
         e_m = _hwin_front(mid)
@@ -718,69 +718,104 @@ def render_hierarchical_naive(
         fh = fh + pop_m.astype(fh.dtype)
         return head, fh, T, C, nc, done
 
-    def push_mid(tail, mid, head, fm, fh, T, C, nc, done, pop_t):
-        e_t = _hwin_front(tail)
-        pop_m = pop_t & (fm == km)
+    # --- Batched tail (matches the Pallas kernel's sort+merge tail) ------
+    #
+    # The tail consumes the stream in sorted batches of TAIL_BATCH: per
+    # batch, sort(hold ++ incoming) by the sub-tile key and EMIT the first
+    # TAIL_BATCH rows (nearest) into the mid/head cascade, HOLDing the
+    # farthest kt. Invalid incoming carry a -inf key ("ghosts") and the
+    # initial hold is -inf "bubbles": both sort to the emission's front and
+    # are masked at mid entry, which makes the emit/hold split a static
+    # slice while preserving exact window-of-kt semantics (the emitted
+    # real count is max(reals - kt, 0)). This is the reference's own batch
+    # cadence (batcherSort + merge, hierarchical_render.cuh:158-192) rather
+    # than an entry-at-a-time sliding window.
+    B = TAIL_BATCH
+    Pp = a_s.shape[0]
+    pad = (-Pp) % B
+
+    def padB(x, fill=0.0):
+        if not pad:
+            return x
+        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    key_s = jnp.where(vt_s, dt_s, -jnp.inf)
+    fields = {
+        "key": padB(key_s, -jnp.inf), "dm": padB(dm_s), "dh": padB(dh_s),
+        "a": padB(a_s), "r": padB(rgb_s[..., 0]), "g": padB(rgb_s[..., 1]),
+        "b": padB(rgb_s[..., 2]),
+    }
+    n_batches = (Pp + pad) // B
+    batched = {f: v.reshape(n_batches, B, N) for f, v in fields.items()}
+
+    hold0 = {"key": jnp.full((kt, N), -jnp.inf)}
+    hold0.update({f: jnp.zeros((kt, N)) for f in ("dm", "dh", "a", "r", "g",
+                                                  "b")})
+
+    def cascade_entry(carry, e):
+        mid, head, fm, fh, T, C, nc, done = carry
+        v = jnp.isfinite(e["key"])
+        pop_m = v & (fm == km)
         head, fh, T, C, nc, done = push_head(
             mid, head, fh, T, C, nc, done, pop_m
         )
         mid = _hwin_shift(mid, pop_m)
         fm = fm - pop_m.astype(fm.dtype)
         mid = _hwin_insert(
-            mid, pop_t,
-            {"key": e_t["dm"], "dh": e_t["dh"], "a": e_t["a"], "r": e_t["r"],
-             "g": e_t["g"], "b": e_t["b"]},
+            mid, v,
+            {"key": e["dm"], "dh": e["dh"], "a": e["a"], "r": e["r"],
+             "g": e["g"], "b": e["b"]},
         )
-        fm = fm + pop_t.astype(fm.dtype)
-        return mid, head, fm, fh, T, C, nc, done
+        fm = fm + v.astype(fm.dtype)
+        return (mid, head, fm, fh, T, C, nc, done), None
 
-    def step(state, inputs):
-        a_i, dt_i, dm_i, dh_i, vt_i, rgb_i = inputs
-        tail, mid, head, ft, fm, fh, T, C, nc, done = state
-        pop_t = vt_i & (ft == kt)
-        mid, head, fm, fh, T, C, nc, done = push_mid(
-            tail, mid, head, fm, fh, T, C, nc, done, pop_t
+    def tail_batch(state, batch):
+        hold, mid, head, fm, fh, T, C, nc, done = state
+        cat = {f: jnp.concatenate([hold[f], batch[f]], axis=0)
+               for f in hold}
+        order = jnp.argsort(cat["key"], axis=0, stable=True)
+        srt = {f: jnp.take_along_axis(cat[f], order, axis=0) for f in cat}
+        emit = {f: v[:B] for f, v in srt.items()}
+        hold = {f: v[B:] for f, v in srt.items()}
+        (mid, head, fm, fh, T, C, nc, done), _ = jax.lax.scan(
+            cascade_entry, (mid, head, fm, fh, T, C, nc, done), emit
         )
-        tail = _hwin_shift(tail, pop_t)
-        ft = ft - pop_t.astype(ft.dtype)
-        tail = _hwin_insert(
-            tail, vt_i,
-            {"key": dt_i, "dm": dm_i, "dh": dh_i, "a": a_i,
-             "r": rgb_i[:, 0], "g": rgb_i[:, 1], "b": rgb_i[:, 2]},
-        )
-        ft = ft + vt_i.astype(ft.dtype)
-        return (tail, mid, head, ft, fm, fh, T, C, nc, done), None
+        return (hold, mid, head, fm, fh, T, C, nc, done), None
 
-    state, _ = jax.lax.scan(
-        step, state0, (a_s, dt_s, dm_s, dh_s, vt_s, rgb_s)
+    zi = jnp.zeros((N,), jnp.int32)
+    state = (
+        hold0, mid0, head0, zi, zi,
+        jnp.ones((N,), jnp.float32), jnp.zeros((N, 3), jnp.float32),
+        zi, jnp.zeros((N,), bool),
     )
+    state, _ = jax.lax.scan(tail_batch, state, batched)
 
-    def drain_tail(state, _):
-        tail, mid, head, ft, fm, fh, T, C, nc, done = state
-        pop_t = ft > 0
-        mid, head, fm, fh, T, C, nc, done = push_mid(
-            tail, mid, head, fm, fh, T, C, nc, done, pop_t
+    # Tail drain: +inf incoming pads push every held real entry out.
+    drain_in = {"key": jnp.full((B, N), jnp.inf)}
+    drain_in.update({f: jnp.zeros((B, N)) for f in ("dm", "dh", "a", "r",
+                                                    "g", "b")})
+    for _ in range(-(-kt // B)):
+        state, _ = tail_batch(
+            state, drain_in
         )
-        tail = _hwin_shift(tail, pop_t)
-        ft = ft - pop_t.astype(ft.dtype)
-        return (tail, mid, head, ft, fm, fh, T, C, nc, done), None
-
-    state, _ = jax.lax.scan(drain_tail, state, None, length=kt)
+    _, mid, head, fm, fh, T, C, nc, done = state
 
     def drain_mid(state, _):
-        tail, mid, head, ft, fm, fh, T, C, nc, done = state
+        mid, head, fm, fh, T, C, nc, done = state
         pop_m = fm > 0
         head, fh, T, C, nc, done = push_head(
             mid, head, fh, T, C, nc, done, pop_m
         )
         mid = _hwin_shift(mid, pop_m)
         fm = fm - pop_m.astype(fm.dtype)
-        return (tail, mid, head, ft, fm, fh, T, C, nc, done), None
+        return (mid, head, fm, fh, T, C, nc, done), None
 
+    state = (mid, head, fm, fh, T, C, nc, done)
     state, _ = jax.lax.scan(drain_mid, state, None, length=km)
 
     def drain_head(state, _):
-        tail, mid, head, ft, fm, fh, T, C, nc, done = state
+        mid, head, fm, fh, T, C, nc, done = state
         pop_h = fh > 0
         e_h = _hwin_front(head)
         T, C, nc, done = _blend_one(
@@ -788,8 +823,8 @@ def render_hierarchical_naive(
         )
         head = _hwin_shift(head, pop_h)
         fh = fh - pop_h.astype(fh.dtype)
-        return (tail, mid, head, ft, fm, fh, T, C, nc, done), None
+        return (mid, head, fm, fh, T, C, nc, done), None
 
     state, _ = jax.lax.scan(drain_head, state, None, length=kh)
-    _, _, _, _, _, _, T, C, nc, _ = state
+    _, _, _, _, T, C, nc, _ = state
     return _finalize(C, T, bg, width, height), T, nc
