@@ -48,12 +48,14 @@ from .kbuffer_blend import (
 N_PLANES = 5  # key(d_head), alpha, r, g, b
 
 
-def _bitonic_planes(planes, n):
+def _bitonic_planes(planes, n, descending=False):
     """Sort the plane list by planes[0] along axis 0, per-lane independent.
 
     Textbook bitonic network: for phase k, stride s, partner i^s, ascending
     iff (i & k) == 0 — constant within each aligned 2s block, so every stage
-    is a reshape + masked swap of contiguous half-blocks.
+    is a reshape + masked swap of contiguous half-blocks. `descending`
+    inverts every stage's direction (there is no TPU lowering for lax.rev,
+    so callers needing a descending batch sort it directly).
     """
     L = planes[0].shape[1]
     k = 2
@@ -69,6 +71,8 @@ def _bitonic_planes(planes, n):
             lo, hi = key[:, 0], key[:, 1]  # [m, s, L]
             blk = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
             asc = ((blk * (2 * s)) & k) == 0
+            if descending:
+                asc = ~asc
             swap = jnp.where(asc, lo > hi, lo < hi)
             out = []
             for p in planes:

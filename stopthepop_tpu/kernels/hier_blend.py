@@ -346,7 +346,12 @@ def _tail_round(tail, incoming, kt):
     Returns the emitted planes [TAIL_PLANES, B, 128], sorted ascending.
     """
     B = TAIL_BATCH
-    planes_in = _bitonic_planes([incoming[p] for p in range(TAIL_PLANES)], B)
+    # Sorted DESCENDING directly (lax.rev has no TPU lowering, so we cannot
+    # flip an ascending batch): hold (asc) ++ pads (+inf) ++ incoming (desc)
+    # is bitonic.
+    planes_in = _bitonic_planes(
+        [incoming[p] for p in range(TAIL_PLANES)], B, descending=True
+    )
     M = _next_pow2(kt + B)
     pad_rows = M - kt - B
     merged = []
@@ -355,8 +360,7 @@ def _tail_round(tail, incoming, kt):
         parts = [tail[p]]
         if pad_rows:
             parts.append(jnp.full((pad_rows, 128), fill, jnp.float32))
-        # hold (asc) ++ pads (+inf) ++ reversed incoming (desc) is bitonic.
-        parts.append(jnp.flip(planes_in[p], axis=0))
+        parts.append(planes_in[p])
         merged.append(jnp.concatenate(parts, axis=0))
     merged = _bitonic_merge(merged, M)
     for p in range(TAIL_PLANES):
