@@ -207,3 +207,20 @@ def test_per_tile_depth_positive_and_biased():
     d = stp.per_tile_depth(center, packed, cam.campos, 64, 64, cam.inv_viewprojmatrix)
     # Camera 4 units away, bias +8 → about 12.
     np.testing.assert_allclose(d[0], 12.0, atol=0.1)
+
+
+def test_cumsum_mxu_matches_numpy():
+    import numpy as np
+
+    from stopthepop_tpu.ops.scan import cumsum_mxu
+
+    rng = np.random.default_rng(0)
+    for shape in [(7,), (128,), (129,), (1000,), (16385,), (3, 5000)]:
+        x = rng.standard_normal(shape).astype(np.float32)
+        got = np.asarray(cumsum_mxu(jnp.asarray(x)))
+        want = np.cumsum(x, axis=-1, dtype=np.float64)
+        assert np.abs((got - want) / (1 + np.abs(want))).max() < 1e-4, shape
+        # Integer-valued inputs must stay exact (the rank_expand contract).
+        m = (rng.random(shape) < 0.3).astype(np.float32)
+        gi = np.asarray(cumsum_mxu(jnp.asarray(m)))
+        assert (gi == np.cumsum(m, axis=-1)).all(), shape
