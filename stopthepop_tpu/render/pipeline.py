@@ -47,22 +47,23 @@ def tile_grid(width: int, height: int):
 
 
 def _payload_gather(table, segs: AlignedSegments, capacity=None,
-                    grad_cols=None):
+                    grad_cols=None, carry_bf16=False):
     """table[gauss_id].T (feature-major), with the carry-sort VJP when the
     fused pair build supplied the sort permutation. ``capacity`` (static)
     bounds the real (non-padding) pre-sort slots for the backward;
-    ``grad_cols`` limits it to the leading differentiable columns (see
-    segment_gather)."""
+    ``grad_cols`` limits it to the leading differentiable columns;
+    ``carry_bf16`` opts the backward into bf16-packed cotangent carriers
+    (see segment_gather)."""
     if segs.orig_slot is not None:
         return segment_gather(
             table, segs.gauss_id, segs.orig_slot, segs.gauss_offsets,
-            capacity, grad_cols,
+            capacity, grad_cols, carry_bf16,
         )
     return table[segs.gauss_id].T
 
 
 def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int,
-                  capacity: int = None):
+                  capacity: int = None, carry_bf16: bool = False):
     """Gather the feature-major blend payload [16, C_aligned + chunk].
 
     A differentiable gather: its VJP scatter-adds payload gradients back to
@@ -81,7 +82,7 @@ def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int,
     )  # [P, 10] — one wide gather beats ten narrow ones on TPU
     # Only mean2d/conic/rgb (cols 0..8) carry gradients; depth is
     # stop-gradient and skips the backward reduction.
-    feats = _payload_gather(table, segs, capacity, 9)  # [10, C]
+    feats = _payload_gather(table, segs, capacity, 9, carry_bf16)  # [10, C]
     feats = jnp.concatenate(
         [feats, jnp.zeros((PAYLOAD_F - 10, ids.shape[0]), jnp.float32)],
         axis=0,
@@ -101,6 +102,7 @@ def render_tiled(
     campos=None,
     inverse_vp=None,
     chunk: int = 128,
+    carry_bf16: bool = False,
     interpret: bool = False,
 ):
     """GLOBAL-mode tiled render. Returns (color, final_T, n_contrib, pairs).
@@ -124,7 +126,7 @@ def render_tiled(
         image_width=image_width,
         image_height=image_height,
     )
-    payload = build_payload(prep, segs, chunk, capacity)
+    payload = build_payload(prep, segs, chunk, capacity, carry_bf16)
     blend = make_blend_global(grid_x, grid_y, chunk, interpret)
     packed = blend(payload, segs.starts, segs.counts)
     color, final_t, n_contrib, depth_acc = unpack_image(
@@ -137,7 +139,8 @@ def render_tiled(
 
 
 def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
-                          chunk: int, capacity: int = None):
+                          chunk: int, capacity: int = None,
+                          carry_bf16: bool = False):
     """Gather the k-buffer blend payload [32, C_aligned + chunk].
 
     Differentiable gather (see build_payload); includes the packed inverse
@@ -153,7 +156,7 @@ def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
     )  # [P, 19]
     # cov3d_inv9 / power threshold rows get zero gradient (discrete
     # resort, like the reference) — restrict the VJP to cols 0..8.
-    feats = _payload_gather(table, segs, capacity, 9)  # [19, C]
+    feats = _payload_gather(table, segs, capacity, 9, carry_bf16)  # [19, C]
     feats = jnp.pad(feats, ((0, KB_PAYLOAD_F - feats.shape[0]), (0, chunk)))
     return feats
 
@@ -172,6 +175,7 @@ def render_tiled_kbuffer(
     tile_based_culling: bool = False,
     chunk: int = 128,
     seg_cap: int = 16384,
+    carry_bf16: bool = False,
     interpret: bool = False,
 ):
     """PER_PIXEL_KBUFFER tiled render. Returns (color, final_T, n_contrib,
@@ -191,7 +195,7 @@ def render_tiled_kbuffer(
         image_width=image_width,
         image_height=image_height,
     )
-    payload = build_payload_kbuffer(prep, segs, chunk, capacity)
+    payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16)
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)
@@ -276,6 +280,7 @@ def render_tiled_hier(
     hier_4x4_culling: bool = False,
     chunk: int = 128,
     seg_cap: int = 16384,
+    carry_bf16: bool = False,
     interpret: bool = False,
 ):
     """HIERARCHICAL tiled render. Returns (color, final_T, n_contrib,
@@ -297,7 +302,7 @@ def render_tiled_hier(
         image_width=image_width,
         image_height=image_height,
     )
-    payload = build_payload_kbuffer(prep, segs, chunk, capacity)
+    payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16)
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)

@@ -115,6 +115,7 @@ def _rasterize_impl(
     seg_full: int = 2048,
     full_mode: str = "auto",
     chunk: int = 128,
+    carry_bf16: bool = False,
     interpret: bool = False,
     full_output: bool = False,
     debug_visualization: DebugVisualization = DebugVisualization.Disabled,
@@ -240,6 +241,7 @@ def _rasterize_impl(
             campos=rs.campos,
             inverse_vp=rs.inv_viewprojmatrix,
             chunk=chunk,
+            carry_bf16=carry_bf16,
             interpret=interpret,
         )
         overflow = pairs.overflow
@@ -256,6 +258,7 @@ def _rasterize_impl(
             sort_order=sort_order,
             tile_based_culling=ext.culling_settings.tile_based_culling,
             seg_cap=seg_cap,
+            carry_bf16=carry_bf16,
             interpret=interpret,
         )
         overflow = pairs.overflow
@@ -274,6 +277,7 @@ def _rasterize_impl(
             tile_based_culling=ext.culling_settings.tile_based_culling,
             hier_4x4_culling=ext.culling_settings.hierarchical_4x4_culling,
             seg_cap=seg_cap,
+            carry_bf16=carry_bf16,
             interpret=interpret,
         )
         overflow = pairs.overflow

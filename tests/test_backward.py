@@ -190,3 +190,49 @@ def test_grads_match_finite_differences():
     # f32 + the (intentionally) non-differentiable alpha/transmittance
     # cutoffs put a floor on FD agreement; 4% catches any real VJP bug.
     np.testing.assert_allclose(float(analytic), float(fd), rtol=4e-2)
+
+
+def test_carry_bf16_grads_close_to_f32():
+    """Opt-in mixed-precision carry (bf16-packed cotangent unsort): the
+    per-pair cotangents are rounded to bf16, so gradients must track the
+    f32 path within bf16 relative noise."""
+    w = h = 48
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(7), 120)
+    prep0 = preprocess(
+        scene.means3d, scene.opacities, scales=scene.scales,
+        rotations=scene.rotations, colors_precomp=scene.colors,
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix, campos=cam.campos,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy, image_width=w, image_height=h,
+    )
+    cap = int(count_pairs(prep0)) + 64
+    bg = jnp.array([0.3, 0.1, 0.2])
+    weights = jax.random.normal(jax.random.PRNGKey(99), (3, h, w))
+
+    def loss(means, scales, rots, opac, col, carry_bf16):
+        prep = preprocess(
+            means, opac, scales=scales, rotations=rots, colors_precomp=col,
+            viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+            campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            image_width=w, image_height=h,
+        )
+        img, final_t, _, _, _ = render_tiled(
+            prep, bg, image_width=w, image_height=h, capacity=cap,
+            carry_bf16=carry_bf16, interpret=True,
+        )
+        return jnp.sum(img * weights) + 0.1 * jnp.sum(final_t)
+
+    args = (scene.means3d, scene.scales, scene.rotations, scene.opacities,
+            scene.colors)
+    g32 = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args, False)
+    g16 = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args, True)
+    for name, a, b in zip(["means3d", "scales", "rots", "opac", "col"],
+                          g32, g16):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all(), name
+        scale = np.abs(a).max() + 1e-8
+        # bf16 has ~3 decimal digits; the reduction is f32.
+        np.testing.assert_allclose(
+            b, a, atol=2e-2 * scale, rtol=2e-2,
+            err_msg=f"bf16-carry gradient drift for {name}",
+        )
