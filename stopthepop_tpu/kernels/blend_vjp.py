@@ -23,14 +23,16 @@ def _int_zero_tangent(x):
 
 
 @functools.lru_cache(maxsize=None)
-def make_blend_global(grid_x: int, grid_y: int, chunk: int, interpret: bool):
+def make_blend_global(grid_x: int, grid_y: int, chunk: int, interpret: bool,
+                      tile_x: int = 16, tile_y: int = 16):
     """Build (and cache) the differentiable blend for one static config."""
 
     @jax.custom_vjp
     def blend(payload, starts, counts):
         return blend_global_forward(
             payload, starts, counts,
-            grid_x=grid_x, grid_y=grid_y, chunk=chunk, interpret=interpret,
+            grid_x=grid_x, grid_y=grid_y, chunk=chunk, tile_x=tile_x,
+            tile_y=tile_y, interpret=interpret,
         )
 
     def blend_fwd(payload, starts, counts):
@@ -45,7 +47,8 @@ def make_blend_global(grid_x: int, grid_y: int, chunk: int, interpret: bool):
         # (and hence d_bg) lives outside the kernel entirely.
         dpay = blend_global_backward(
             payload, g_packed, packed, starts, counts,
-            grid_x=grid_x, grid_y=grid_y, chunk=chunk, interpret=interpret,
+            grid_x=grid_x, grid_y=grid_y, chunk=chunk, tile_x=tile_x,
+            tile_y=tile_y, interpret=interpret,
         )
         # Columns past the last aligned segment are never written by the
         # kernel (uninitialized) — zero them before they reach the gather VJP.

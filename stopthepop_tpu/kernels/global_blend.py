@@ -56,11 +56,11 @@ def _upper_tri(ch: int, dtype=jnp.float32):
     return (row <= col).astype(dtype)
 
 
-def _tile_pixel_coords(tx, ty):
-    """(pixf_x, pixf_y) [256, 1] for in-tile row-major pixel order."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, 1), 0)
-    pixf_x = (tx * TILE_X + j % TILE_X).astype(jnp.float32)
-    pixf_y = (ty * TILE_Y + j // TILE_X).astype(jnp.float32)
+def _tile_pixel_coords(tx, ty, tile_x=TILE_X, tile_y=TILE_Y):
+    """(pixf_x, pixf_y) [tile_pixels, 1] for in-tile row-major pixel order."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (tile_x * tile_y, 1), 0)
+    pixf_x = (tx * tile_x + j % tile_x).astype(jnp.float32)
+    pixf_y = (ty * tile_y + j // tile_x).astype(jnp.float32)
     return pixf_x, pixf_y
 
 
@@ -107,15 +107,16 @@ def _fwd_kernel(
     payload_ref,                     # HBM [16, C_pad]
     out_ref,                         # VMEM block [1, 8, 256]
     buf, sems,                       # scratch: [2, 16, CH] VMEM, 2 DMA sems
-    *, chunk: int, grid_x: int,
+    *, chunk: int, grid_x: int, tile_x: int, tile_y: int,
 ):
+    tp = tile_x * tile_y
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
     rounds = pl.cdiv(count, chunk)
     tx = t % grid_x
     ty = t // grid_x
-    pixf_x, pixf_y = _tile_pixel_coords(tx, ty)
+    pixf_x, pixf_y = _tile_pixel_coords(tx, ty, tile_x, tile_y)
     tri = _upper_tri(chunk)
 
     def get_dma(slot, k):
@@ -177,9 +178,9 @@ def _fwd_kernel(
         wbody,
         (
             jnp.int32(0),
-            jnp.ones((TILE_PIXELS, 1), jnp.float32),
-            jnp.zeros((TILE_PIXELS, 4), jnp.float32),
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),
+            jnp.ones((tp, 1), jnp.float32),
+            jnp.zeros((tp, 4), jnp.float32),
+            jnp.zeros((tp, 1), jnp.float32),
             jnp.bool_(False),
         ),
     )
@@ -196,10 +197,10 @@ def _fwd_kernel(
             T,
             nc,
             C[:, 3:4],
-            jnp.zeros((TILE_PIXELS, 2), jnp.float32),
+            jnp.zeros((tp, 2), jnp.float32),
         ],
         axis=1,
-    )  # [256, 8]
+    )  # [tp, 8]
     out_ref[0] = packed.T
 
 
@@ -211,18 +212,23 @@ def blend_global_forward(
     grid_x: int,
     grid_y: int,
     chunk: int = 256,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
     interpret: bool = False,
 ):
-    """Run the forward blend kernel. Returns packed [T, 8, 256] with RAW
-    committed color (background not composited — done by the caller)."""
+    """Run the forward blend kernel. Returns packed [T, 8, tile_pixels] with
+    RAW committed color (background not composited — done by the caller)."""
     num_tiles = grid_x * grid_y
-    kernel = functools.partial(_fwd_kernel, chunk=chunk, grid_x=grid_x)
+    tp = tile_x * tile_y
+    kernel = functools.partial(
+        _fwd_kernel, chunk=chunk, grid_x=grid_x, tile_x=tile_x, tile_y=tile_y
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, tp), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, PAYLOAD_F, chunk), jnp.float32),
@@ -231,18 +237,19 @@ def blend_global_forward(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, TILE_PIXELS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, tp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, counts, payload)
 
 
-def unpack_image(packed, grid_x: int, grid_y: int, width: int, height: int):
-    """[T, 8, 256] packed tiles -> (color [3, H, W], final_T [H, W],
+def unpack_image(packed, grid_x: int, grid_y: int, width: int, height: int,
+                 tile_x: int = TILE_X, tile_y: int = TILE_Y):
+    """[T, 8, tile_pixels] packed tiles -> (color [3, H, W], final_T [H, W],
     n_contrib [H, W] int32)."""
-    t = packed.reshape(grid_y, grid_x, 8, TILE_Y, TILE_X)
+    t = packed.reshape(grid_y, grid_x, 8, tile_y, tile_x)
     full = jnp.transpose(t, (2, 0, 3, 1, 4)).reshape(
-        8, grid_y * TILE_Y, grid_x * TILE_X
+        8, grid_y * tile_y, grid_x * tile_x
     )
     color = full[0:3, :height, :width]
     final_t = full[3, :height, :width]
@@ -284,15 +291,16 @@ def _bwd_kernel(
     packed_ref,                      # VMEM block [1, 8, 256] (fwd output)
     dpay_ref,                        # HBM out [16, C_pad]
     buf, dbuf, sems, dsems,          # scratch
-    *, chunk: int, grid_x: int,
+    *, chunk: int, grid_x: int, tile_x: int, tile_y: int,
 ):
+    tp = tile_x * tile_y
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
     rounds = pl.cdiv(count, chunk)
     tx = t % grid_x
     ty = t // grid_x
-    pixf_x, pixf_y = _tile_pixel_coords(tx, ty)
+    pixf_x, pixf_y = _tile_pixel_coords(tx, ty, tile_x, tile_y)
     tri = _upper_tri(chunk)
 
     gp = grad_ref[0]                     # [8, 256]
@@ -321,8 +329,8 @@ def _bwd_kernel(
             dbuf.at[slot], dpay_ref.at[:, pl.ds(offset, chunk)], dsems.at[slot]
         )
 
-    ones = jnp.ones((TILE_PIXELS, 1), jnp.float32)
-    zeros1 = jnp.zeros((TILE_PIXELS, 1), jnp.float32)
+    ones = jnp.ones((tp, 1), jnp.float32)
+    zeros1 = jnp.zeros((tp, 1), jnp.float32)
 
     # ---- single replay pass: per-pair gradients ----
     @pl.when(rounds_eff > 0)
@@ -442,22 +450,27 @@ def blend_global_backward(
     grid_x: int,
     grid_y: int,
     chunk: int = 256,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
     interpret: bool = False,
 ):
     """Returns d_payload [16, C_pad] (zero where no pair was written)."""
     num_tiles = grid_x * grid_y
-    kernel = functools.partial(_bwd_kernel, chunk=chunk, grid_x=grid_x)
+    tp = tile_x * tile_y
+    kernel = functools.partial(
+        _bwd_kernel, chunk=chunk, grid_x=grid_x, tile_x=tile_x, tile_y=tile_y
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                (1, 8, tp), lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                (1, 8, tp), lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -140,15 +140,15 @@ def max_contrib_power_rect(
     return power, jnp.stack([max_x, max_y], axis=-1)
 
 
-def tile_rect_bounds(tx, ty):
+def tile_rect_bounds(tx, ty, tile_x=TILE_X, tile_y=TILE_Y):
     """Pixel-space (min, max) corners of tile (tx, ty) as used for culling.
 
     Reference: stopthepop_common.cuh:429-430 — max corner is inclusive
     ((x+1)*16 - 1).
     """
-    tile_min = jnp.stack([tx * TILE_X, ty * TILE_Y], axis=-1).astype(jnp.float32)
+    tile_min = jnp.stack([tx * tile_x, ty * tile_y], axis=-1).astype(jnp.float32)
     tile_max = jnp.stack(
-        [(tx + 1) * TILE_X - 1, (ty + 1) * TILE_Y - 1], axis=-1
+        [(tx + 1) * tile_x - 1, (ty + 1) * tile_y - 1], axis=-1
     ).astype(jnp.float32)
     return tile_min, tile_max
 

@@ -137,6 +137,8 @@ def expand_pairs(
     inverse_vp=None,
     image_width: int = 0,
     image_height: int = 0,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
 ):
     """The "Duplicate" stage: expand + key + optionally tile-cull all pairs.
 
@@ -199,9 +201,10 @@ def expand_pairs(
         conic_opac = fg[:, 3:7]
         mean2d = fg[:, 1:3]
         power_thresh = fg[:, 7]
-        tile_min, tile_max = tile_rect_bounds(tx, ty)
+        tile_min, tile_max = tile_rect_bounds(tx, ty, tile_x, tile_y)
         power, max_pos = max_contrib_power_rect(
-            conic_opac, mean2d, tile_min, tile_max
+            conic_opac, mean2d, tile_min, tile_max,
+            patch_w=tile_x - 1, patch_h=tile_y - 1,
         )
         if tile_based_culling:
             valid = valid & (power <= power_thresh)
@@ -212,8 +215,8 @@ def expand_pairs(
             # Center of the inclusive pixel rect: (tx*16 + 7.5, ty*16 + 7.5).
             target = jnp.stack(
                 [
-                    tx.astype(jnp.float32) * TILE_X + (TILE_X - 1) / 2.0,
-                    ty.astype(jnp.float32) * TILE_Y + (TILE_Y - 1) / 2.0,
+                    tx.astype(jnp.float32) * tile_x + (tile_x - 1) / 2.0,
+                    ty.astype(jnp.float32) * tile_y + (tile_y - 1) / 2.0,
                 ],
                 axis=-1,
             )
@@ -267,6 +270,8 @@ def build_pairs(
     inverse_vp=None,
     image_width: int = 0,
     image_height: int = 0,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
 ) -> PairBuffer:
     """Expand, optionally tile-cull, key and sort all Gaussian/tile pairs."""
     expanded = expand_pairs(
@@ -274,6 +279,7 @@ def build_pairs(
         sort_order=sort_order, tile_based_culling=tile_based_culling,
         campos=campos, inverse_vp=inverse_vp,
         image_width=image_width, image_height=image_height,
+        tile_x=tile_x, tile_y=tile_y,
     )
     return sort_expanded(*expanded, num_tiles=grid_x * grid_y)
 
@@ -291,6 +297,8 @@ def build_pairs_aligned(
     inverse_vp=None,
     image_width: int = 0,
     image_height: int = 0,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
 ):
     """Fused pair build producing the align-padded layout in ONE sort.
 
@@ -309,6 +317,7 @@ def build_pairs_aligned(
         sort_order=sort_order, tile_based_culling=tile_based_culling,
         campos=campos, inverse_vp=inverse_vp,
         image_width=image_width, image_height=image_height,
+        tile_x=tile_x, tile_y=tile_y,
     )
     if tile_based_culling:
         # Per-tile culling drops individual pairs; only a pair-domain

@@ -42,8 +42,9 @@ from .preprocess import PreprocessOutput
 SEGMENT_ALIGN = 256
 
 
-def tile_grid(width: int, height: int):
-    return (width + TILE_X - 1) // TILE_X, (height + TILE_Y - 1) // TILE_Y
+def tile_grid(width: int, height: int, tile_x: int = TILE_X,
+              tile_y: int = TILE_Y):
+    return (width + tile_x - 1) // tile_x, (height + tile_y - 1) // tile_y
 
 
 def _payload_gather(table, segs: AlignedSegments, capacity=None,
@@ -103,14 +104,21 @@ def render_tiled(
     inverse_vp=None,
     chunk: int = 128,
     carry_bf16: bool = False,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
     interpret: bool = False,
 ):
     """GLOBAL-mode tiled render. Returns (color, final_T, n_contrib, pairs).
 
     chunk=128 measures fastest end-to-end: the blend's MXU matmuls are at the
     native 128 dim either way, and halving the chunk halves the per-tile
-    alignment padding that inflates the sort/gather domains."""
-    grid_x, grid_y = tile_grid(image_width, image_height)
+    alignment padding that inflates the sort/gather domains.
+
+    ``tile_x``/``tile_y``: binning tile (16x16 default = reference parity;
+    32x16 cuts the pair domain ~35%% — every sort/gather/scan stage scales
+    with it — at ~1.3x blend-kernel work; a NET win on TPU at production
+    sizes). ``prep`` must have been built with the same tile dims."""
+    grid_x, grid_y = tile_grid(image_width, image_height, tile_x, tile_y)
     # Segment alignment must equal the DMA chunk so the backward kernel's
     # full-chunk writes stay within each tile's own segment.
     pairs, segs = build_pairs_aligned(
@@ -125,12 +133,14 @@ def render_tiled(
         inverse_vp=inverse_vp,
         image_width=image_width,
         image_height=image_height,
+        tile_x=tile_x,
+        tile_y=tile_y,
     )
     payload = build_payload(prep, segs, chunk, capacity, carry_bf16)
-    blend = make_blend_global(grid_x, grid_y, chunk, interpret)
+    blend = make_blend_global(grid_x, grid_y, chunk, interpret, tile_x, tile_y)
     packed = blend(payload, segs.starts, segs.counts)
     color, final_t, n_contrib, depth_acc = unpack_image(
-        packed, grid_x, grid_y, image_width, image_height
+        packed, grid_x, grid_y, image_width, image_height, tile_x, tile_y
     )
     # Background composite in jnp (outside the kernel): autodiff supplies
     # d_bg and folds the bg path into the final-T cotangent for the kernel.

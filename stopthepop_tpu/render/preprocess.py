@@ -49,7 +49,8 @@ class PreprocessOutput(NamedTuple):
     opacity_power_threshold: jnp.ndarray  # [P] log(opacity / alpha_thresh)
 
 
-def get_rect(mean2d, rect_dims, grid_x: int, grid_y: int):
+def get_rect(mean2d, rect_dims, grid_x: int, grid_y: int,
+             tile_x: int = TILE_X, tile_y: int = TILE_Y):
     """Tile-space bounding rect of a screen-space extent box.
 
     Reference: auxiliary.h:91-101 (getRect) — min inclusive, max exclusive,
@@ -57,15 +58,15 @@ def get_rect(mean2d, rect_dims, grid_x: int, grid_y: int):
     """
     lo = jnp.stack(
         [
-            jnp.clip(jnp.floor((mean2d[..., 0] - rect_dims[..., 0]) / TILE_X), 0, grid_x),
-            jnp.clip(jnp.floor((mean2d[..., 1] - rect_dims[..., 1]) / TILE_Y), 0, grid_y),
+            jnp.clip(jnp.floor((mean2d[..., 0] - rect_dims[..., 0]) / tile_x), 0, grid_x),
+            jnp.clip(jnp.floor((mean2d[..., 1] - rect_dims[..., 1]) / tile_y), 0, grid_y),
         ],
         axis=-1,
     ).astype(jnp.int32)
     hi = jnp.stack(
         [
-            jnp.clip(jnp.ceil((mean2d[..., 0] + rect_dims[..., 0]) / TILE_X), 0, grid_x),
-            jnp.clip(jnp.ceil((mean2d[..., 1] + rect_dims[..., 1]) / TILE_Y), 0, grid_y),
+            jnp.clip(jnp.ceil((mean2d[..., 0] + rect_dims[..., 0]) / tile_x), 0, grid_x),
+            jnp.clip(jnp.ceil((mean2d[..., 1] + rect_dims[..., 1]) / tile_y), 0, grid_y),
         ],
         axis=-1,
     ).astype(jnp.int32)
@@ -94,12 +95,18 @@ def preprocess(
     rect_bounding: bool = False,
     tight_opacity_bounding: bool = False,
     proper_ewa_scaling: bool = False,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
 ) -> PreprocessOutput:
-    """Vectorized preprocess of all Gaussians. All flags are static."""
+    """Vectorized preprocess of all Gaussians. All flags are static.
+
+    ``tile_x``/``tile_y`` set the binning tile (default 16x16 = reference
+    parity, config.h:16-17; 32x16 shrinks the pair domain ~35%% on TPU).
+    """
     P = means3d.shape[0]
     opacities = opacities.reshape(P)
-    grid_x = (image_width + TILE_X - 1) // TILE_X
-    grid_y = (image_height + TILE_Y - 1) // TILE_Y
+    grid_x = (image_width + tile_x - 1) // tile_x
+    grid_y = (image_height + tile_y - 1) // tile_y
     # Focal lengths from tan-fov, reference rasterizer_impl.cu:251-252.
     focal_y = image_height / (2.0 * tanfovy)
     focal_x = image_width / (2.0 * tanfovx)
@@ -156,7 +163,7 @@ def preprocess(
         ext_y = radius
     rect_dims = jnp.stack([ext_x, ext_y], axis=-1)
 
-    rect_min, rect_max = get_rect(mean2d, rect_dims, grid_x, grid_y)
+    rect_min, rect_max = get_rect(mean2d, rect_dims, grid_x, grid_y, tile_x, tile_y)
     tile_count = jnp.prod(
         jnp.maximum(rect_max - rect_min, 0), axis=-1
     ).astype(jnp.int32)
