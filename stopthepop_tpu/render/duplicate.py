@@ -328,6 +328,28 @@ def build_pairs_aligned(
         )
     else:
         counts = rect_histogram(prep, grid_x, grid_y)
+    return sort_stream_aligned(
+        tile_id, depth_key, g, counts,
+        num_tiles=num_tiles, align=align,
+        num_rendered=num_rendered, overflow=overflow,
+        gauss_offsets=jnp.cumsum(prep.tiles_touched).astype(jnp.int32),
+    )
+
+
+def sort_stream_aligned(
+    tile_id, depth_key, g, counts, *, num_tiles: int, align: int,
+    num_rendered, overflow, gauss_offsets=None,
+):
+    """Sort a raw pair stream into the align-padded per-tile layout.
+
+    The stream-level core of ``build_pairs_aligned`` (which feeds it the
+    rect expansion): callers that assemble pair streams some other way —
+    e.g. the ring-streamed Gaussian sharding in parallel/ring.py, which
+    accumulates pairs over ``ppermute`` rotations — reuse the same
+    pad-into-sort trick. ``counts`` must be the exact per-tile count of
+    valid entries in the stream.
+    """
+    capacity = tile_id.shape[0]
     pad_needed = (-counts) % align  # [T]
 
     # Padding block [T, align]: row t contributes pad_needed[t] entries of
@@ -373,7 +395,7 @@ def build_pairs_aligned(
         starts=seg_starts,
         counts=counts,
         orig_slot=s_slot,
-        gauss_offsets=jnp.cumsum(prep.tiles_touched).astype(jnp.int32),
+        gauss_offsets=gauss_offsets,
     )
     return pairs, segs
 
@@ -515,6 +537,87 @@ def segment_gather(table, gauss_id, orig_slot, gauss_offsets, capacity=None,
     return make_segment_gather(capacity, grad_cols, carry_bf16)(
         table, gauss_id, orig_slot, gauss_offsets
     )
+
+
+@functools.lru_cache(maxsize=None)
+def make_slot_gather(capacity: int, grad_cols=None, carry_bf16=False):
+    """Pair-domain table gather ``table[slot].T`` with a carry-sort-only VJP.
+
+    make_segment_gather's sibling for the ring-streamed pipeline
+    (parallel/ring.py): the table rows there are *pair* records in
+    accumulation order, so every row is referenced at most once and the
+    backward is just the unsort — an ascending-slot carry-sort, with no
+    per-Gaussian segment reduction (that reduction happens inside the ring
+    scan's backward, where each step's pairs are Gaussian-contiguous).
+
+    ``capacity`` is the table row count: slots >= capacity (the alignment
+    padding block) clamp in the forward gather (their columns are never
+    blended) and their cotangents sort past ``capacity`` and are dropped.
+    """
+
+    @jax.custom_vjp
+    def gather(table, slot):
+        return table[slot].T
+
+    def gather_fwd(table, slot):
+        return table[slot].T, slot
+
+    def gather_bwd(slot, d_out):
+        import numpy as np
+
+        F, C = d_out.shape
+        ncols = F if grad_cols is None else min(grad_cols, F)
+        if carry_bf16:
+            cols = [d_out[j] for j in range(ncols)]
+            if len(cols) % 2:
+                cols.append(jnp.zeros_like(cols[0]))
+
+            def pack(a, b):
+                ha = jax.lax.bitcast_convert_type(
+                    a.astype(jnp.bfloat16), jnp.uint16
+                ).astype(jnp.uint32)
+                hb = jax.lax.bitcast_convert_type(
+                    b.astype(jnp.bfloat16), jnp.uint16
+                ).astype(jnp.uint32)
+                return ((ha << 16) | hb).astype(jnp.int32)
+
+            carriers = [pack(a, b) for a, b in zip(cols[0::2], cols[1::2])]
+            sorted_packed = jax.lax.sort(
+                tuple([slot] + carriers), num_keys=1
+            )
+
+            def unpack(c):
+                u = c.astype(jnp.uint32)
+                hi = jax.lax.bitcast_convert_type(
+                    (u >> 16).astype(jnp.uint16), jnp.bfloat16
+                )
+                lo = jax.lax.bitcast_convert_type(
+                    (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+                )
+                return hi.astype(jnp.float32), lo.astype(jnp.float32)
+
+            sorted_cols = [sorted_packed[0]]
+            for c in sorted_packed[1:]:
+                sorted_cols.extend(unpack(c))
+            sorted_cols = sorted_cols[: 1 + ncols]
+        else:
+            sorted_cols = jax.lax.sort(
+                tuple([slot] + [d_out[j] for j in range(ncols)]),
+                num_keys=1,
+            )
+        d_rows = jnp.stack(
+            [c[:capacity] for c in sorted_cols[1:]], axis=1
+        )  # [capacity, ncols] row-major, accumulation order
+        if ncols < F:
+            d_rows = jnp.pad(d_rows, ((0, 0), (0, F - ncols)))
+
+        def int0(x):
+            return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+        return d_rows, int0(slot)
+
+    gather.defvjp(gather_fwd, gather_bwd)
+    return gather
 
 
 def align_segments(
