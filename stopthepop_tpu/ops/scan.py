@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 _BLK = 128
@@ -33,10 +34,14 @@ _BLK = 128
 
 @functools.lru_cache(maxsize=None)
 def _tri(n: int):
-    """Upper-triangular ones [n, n]: (x @ tri)[j] = sum_{i<=j} x[i]."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return (i <= j).astype(jnp.float32)
+    """Upper-triangular ones [n, n]: (x @ tri)[j] = sum_{i<=j} x[i].
+
+    Cached as a host numpy constant, NOT a jnp array: a device array built
+    inside a shard_map trace is pinned to that trace's mesh, and reusing it
+    under a different mesh fails ("context mesh should match the aval mesh").
+    """
+    i, j = np.indices((n, n))
+    return (i <= j).astype(np.float32)
 
 
 def cumsum_mxu(x: jnp.ndarray) -> jnp.ndarray:
