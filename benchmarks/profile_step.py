@@ -1,0 +1,162 @@
+"""Per-kernel device-time breakdown of the headline train step.
+
+Runs bench.py's train step under ``jax.profiler`` and aggregates the
+device-side op durations from the emitted perfetto trace — the automated
+version of the "where the time goes" table in PERFORMANCE.md (the analog of
+the reference's stage Timer, rasterizer_impl.h:77-147, with per-fusion
+resolution instead of 4 coarse stages).
+
+Wall-clock microbenchmarks through the axon tunnel lie (cached repeats
+return instantly); profiler device durations are one of the two trusted
+timing sources. Usage:
+
+    PYTHONPATH=/root/repo python benchmarks/profile_step.py \
+        [--tile 32x16] [--carry-bf16] [--no-culling] [--top 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+import tempfile
+
+import jax
+import jax.numpy as jnp
+
+from stopthepop_tpu.config import (
+    ExtendedSettings,
+    GaussianRasterizationSettings,
+)
+from stopthepop_tpu.models.gaussians import init_random
+from stopthepop_tpu.train.loss import rgb_loss
+from stopthepop_tpu.train.trainer import CameraArrays, render_model
+from stopthepop_tpu.utils.testing import make_camera
+
+
+def build_step(args):
+    width, height = args.width, args.height
+    interpret = jax.default_backend() != "tpu"
+    cam = make_camera(width, height, campos=(0.0, 0.0, -4.0))
+    model = init_random(jax.random.PRNGKey(0), args.gaussians, extent=1.5)
+    model = model._replace(scales_log=model.scales_log - 2.3)
+    cams = CameraArrays(
+        cam.viewmatrix, cam.projmatrix, cam.inv_viewprojmatrix, cam.campos
+    )
+    target = jax.random.uniform(jax.random.PRNGKey(1), (3, height, width))
+    tile_shape = None
+    if args.tile and args.tile != "16x16":
+        tx, ty = (int(v) for v in args.tile.split("x"))
+        tile_shape = (tx, ty)
+
+    from stopthepop_tpu.render.preprocess import preprocess
+
+    tx, ty = tile_shape if tile_shape else (16, 16)
+    prep = preprocess(
+        model.means3d, model.opacities(), scales=model.scales(),
+        rotations=model.rotations_normalized(), shs=model.shs(),
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+        campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        image_width=width, image_height=height, sh_degree=0,
+        rect_bounding=not args.no_culling,
+        tight_opacity_bounding=not args.no_culling,
+        tile_x=tx, tile_y=ty,
+    )
+    capacity = (int(int(jnp.sum(prep.tiles_touched)) * 1.1) + 127) // 128 * 128
+
+    settings = ExtendedSettings()
+    settings.culling_settings.rect_bounding = not args.no_culling
+    settings.culling_settings.tight_opacity_bounding = not args.no_culling
+    static = GaussianRasterizationSettings(
+        image_height=height, image_width=width,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        bg=jnp.zeros(3), scale_modifier=1.0,
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+        inv_viewprojmatrix=cam.inv_viewprojmatrix,
+        sh_degree=3, campos=cam.campos, prefiltered=False,
+        settings=settings,
+    )
+
+    def loss_fn(m):
+        color, _ = render_model(
+            m, cams, static=static, pair_capacity=capacity,
+            tile_shape=tile_shape, carry_bf16=args.carry_bf16,
+            interpret=interpret,
+        )
+        return rgb_loss(color, target)
+
+    grad = jax.grad(loss_fn)
+
+    @jax.jit
+    def run(m):
+        def it(i, acc):
+            g = grad(m._replace(means3d=m.means3d + acc * 1e-12))
+            return acc + jnp.mean(g.means3d)
+        return jax.lax.fori_loop(0, args.iters, it, jnp.float32(0.0))
+
+    return run, model, capacity
+
+
+def collect(trace_dir, iters, top):
+    """Aggregate device-track op durations from the perfetto trace."""
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
+    )
+    if not paths:
+        raise SystemExit(f"no perfetto trace under {trace_dir}")
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # Device tracks: pid/tid metadata names look like "/device:TPU:0" or
+    # "TPU:0 (pe ...)"; host python threads carry runtime noise we exclude.
+    device_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e.get("args", {}).get("name", "")
+            if re.search(r"TPU|device", name, re.I) and "host" not in name.lower():
+                device_pids.add(e.get("pid"))
+    totals = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        totals[name] = totals.get(name, 0.0) + float(e.get("dur", 0.0))
+    rows = sorted(totals.items(), key=lambda kv: -kv[1])
+    total_us = sum(totals.values())
+    print(f"# device total: {total_us / 1e3 / iters:.2f} ms/iter "
+          f"over {iters} iters")
+    for name, us in rows[:top]:
+        print(json.dumps({
+            "op": name[:100],
+            "ms_per_iter": round(us / 1e3 / iters, 3),
+            "pct": round(100.0 * us / max(total_us, 1e-9), 1),
+        }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--gaussians", type=int, default=500_000)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--tile", default="16x16")
+    ap.add_argument("--carry-bf16", action="store_true")
+    ap.add_argument("--no-culling", action="store_true")
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--trace-dir", default=None)
+    args = ap.parse_args()
+
+    run, model, capacity = build_step(args)
+    jax.block_until_ready(run(model))  # compile + warm outside the trace
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="stp_trace_")
+    with jax.profiler.trace(trace_dir, create_perfetto_trace=True):
+        jax.block_until_ready(run(model))
+    print(f"# capacity={capacity} trace={trace_dir}")
+    collect(trace_dir, args.iters, args.top)
+
+
+if __name__ == "__main__":
+    main()

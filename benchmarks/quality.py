@@ -1,0 +1,132 @@
+"""Quality ladder: every sort mode vs the exact per-ray full sort.
+
+The reference authors validated KBUFFER/HIER against the PER_PIXEL_FULL
+oracle (resorted_render.cuh:474-675) and quantified out-of-order blending
+with the SortError debug visualizations (stopthepop_common.cuh:264-282).
+This harness publishes the same ladder for the TPU framework at lego scale
+(BASELINE config 2): each mode's image is compared against the tiled FULL
+render (exact per-ray sort) of the *same* scene.
+
+Usage:
+    python benchmarks/quality.py                 # config-2 scale (TPU)
+    python benchmarks/quality.py --small         # 48x48 smoke (CPU ok)
+
+Prints one JSON line per case:
+  {"case": "...", "psnr_vs_full": dB, "mean_abs": x, "max_abs": x}
+(and a trailing line with the sort-error stats of the GLOBAL order when
+--small, where the O(P*pixels) analytic map is affordable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from stopthepop_tpu.config import GlobalSortOrder, SortMode
+from stopthepop_tpu.train.trainer import render_model
+
+from run import _scene, _static  # noqa: E402  (benchmarks/ sibling)
+
+
+def psnr(a, b):
+    mse = jnp.mean((a - b) ** 2)
+    return float(10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)))
+
+
+def _render(case_static, model, cams, capacity, interpret, **kw):
+    color, _ = render_model(
+        model, cams, static=case_static, pair_capacity=capacity,
+        interpret=interpret, **kw,
+    )
+    return jnp.clip(color, 0.0, 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="48x48/300 Gaussians smoke scale (CPU interpret ok)")
+    ap.add_argument("--seg-full", type=int, default=4096,
+                    help="full-sort per-tile segment bound")
+    args = ap.parse_args()
+
+    if args.small:
+        width = height = 48
+        num_gaussians, scale_shift, capacity = 300, -1.0, 4096
+    else:
+        width = height = 800
+        num_gaussians, scale_shift, capacity = 100_000, -2.0, 1_200_000
+
+    cam, model, cams = _scene(width, height, num_gaussians, scale_shift)
+    interpret = jax.default_backend() != "tpu"
+
+    def static_for(mode, order=GlobalSortOrder.Z_DEPTH, k=None, hq=None):
+        s = _static(cam, width, height, mode)
+        s.settings.sort_settings.sort_order = order
+        if k is not None:
+            s.settings.sort_settings.queue_sizes.per_pixel = k
+        if hq is not None:
+            qs = s.settings.sort_settings.queue_sizes
+            qs.tile_4x4, qs.tile_2x2, qs.per_pixel = hq
+        return s
+
+    full = _render(
+        static_for(SortMode.PPX_FULL), model, cams, capacity, interpret,
+        full_mode="tiled", seg_full=args.seg_full,
+    )
+    full.block_until_ready()
+
+    cases = [
+        ("GLOBAL Z_DEPTH", SortMode.GLOBAL, GlobalSortOrder.Z_DEPTH, {}),
+        ("GLOBAL PTD_CENTER", SortMode.GLOBAL, GlobalSortOrder.PTD_CENTER, {}),
+        ("GLOBAL PTD_MAX", SortMode.GLOBAL, GlobalSortOrder.PTD_MAX, {}),
+        ("KBUFFER k=4", SortMode.PPX_KBUFFER, GlobalSortOrder.Z_DEPTH,
+         {"k": 4}),
+        ("KBUFFER k=16", SortMode.PPX_KBUFFER, GlobalSortOrder.Z_DEPTH,
+         {"k": 16}),
+        ("PTD_MAX + KBUFFER k=4", SortMode.PPX_KBUFFER,
+         GlobalSortOrder.PTD_MAX, {"k": 4}),
+        ("HIER 64/8/4", SortMode.HIER, GlobalSortOrder.PTD_MAX,
+         {"hq": (64, 8, 4)}),
+        ("HIER 16/8/4", SortMode.HIER, GlobalSortOrder.PTD_MAX,
+         {"hq": (16, 8, 4)}),
+    ]
+    for name, mode, order, opts in cases:
+        img = _render(
+            static_for(mode, order, **opts), model, cams, capacity, interpret,
+        )
+        diff = jnp.abs(img - full)
+        print(json.dumps({
+            "case": name,
+            "psnr_vs_full": round(psnr(img, full), 2),
+            "mean_abs": round(float(jnp.mean(diff)), 6),
+            "max_abs": round(float(jnp.max(diff)), 4),
+        }), flush=True)
+
+    if args.small:
+        # Analytic out-of-order mass of the GLOBAL order (O(P*pixels)).
+        from stopthepop_tpu.render.debug_viz import sort_error_maps
+        from stopthepop_tpu.render.preprocess import preprocess
+
+        prep = preprocess(
+            model.means3d, model.opacities(), scales=model.scales(),
+            rotations=model.rotations_normalized(), shs=model.shs(),
+            viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+            campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            image_width=width, image_height=height, sh_degree=0,
+        )
+        err_op, err_dist = sort_error_maps(
+            prep, width, height, cam.campos, cam.inv_viewprojmatrix
+        )
+        print(json.dumps({
+            "case": "GLOBAL sort-error (analytic)",
+            "mean_err_opacity": round(float(jnp.mean(err_op)), 5),
+            "max_err_opacity": round(float(jnp.max(err_op)), 4),
+            "mean_err_distance": round(float(jnp.mean(err_dist)), 5),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -140,11 +140,19 @@ def config2():
 
 
 def config3():
-    """Garden scale: 2M Gaussians at 1080p, GLOBAL (default settings)."""
+    """Garden scale at 1080p, GLOBAL: 2M (default settings) and the full
+    ~5M-Gaussian point count (BASELINE config 3). Capacity is auto-sized
+    from the measured pair stream inside bench_mode; the 5M scene uses
+    smaller splats (as a real 5M-point capture does) so the pair stream
+    stays in the same regime as the reference scene."""
     bench_mode(3, "GLOBAL fwd", 1920, 1080, 2_000_000, -2.8,
                6_000_000, SortMode.GLOBAL, False, 3)
     bench_mode(3, "GLOBAL fwd+bwd", 1920, 1080, 2_000_000, -2.8,
                6_000_000, SortMode.GLOBAL, True, 3)
+    bench_mode(3, "GLOBAL 5M fwd", 1920, 1080, 5_000_000, -3.3,
+               16_000_000, SortMode.GLOBAL, False, 3)
+    bench_mode(3, "GLOBAL 5M fwd+bwd", 1920, 1080, 5_000_000, -3.3,
+               16_000_000, SortMode.GLOBAL, True, 3)
 
 
 def config4():
