@@ -110,17 +110,25 @@ def collect(trace_dir, iters, top):
     with gzip.open(sorted(paths)[-1], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # Device tracks: pid/tid metadata names look like "/device:TPU:0" or
-    # "TPU:0 (pe ...)"; host python threads carry runtime noise we exclude.
-    device_pids = set()
+    # Device tracks: on TPU the process name looks like "/device:TPU:0";
+    # on CPU ops land under "/host:CPU" on "tf_XLA*" executor threads.
+    device_pids, xla_tids = set(), set()
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            name = e.get("args", {}).get("name", "")
+        if e.get("ph") != "M":
+            continue
+        name = e.get("args", {}).get("name", "")
+        if e.get("name") == "process_name":
             if re.search(r"TPU|device", name, re.I) and "host" not in name.lower():
                 device_pids.add(e.get("pid"))
+        elif e.get("name") == "thread_name" and name.startswith("tf_XLA"):
+            xla_tids.add((e.get("pid"), e.get("tid")))
     totals = {}
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+        if e.get("ph") != "X":
+            continue
+        on_device = e.get("pid") in device_pids
+        on_xla_thread = (e.get("pid"), e.get("tid")) in xla_tids
+        if not (on_device or (not device_pids and on_xla_thread)):
             continue
         name = e.get("name", "?")
         totals[name] = totals.get(name, 0.0) + float(e.get("dur", 0.0))

@@ -94,6 +94,10 @@ def load_nerf_synthetic(
     with open(transforms_path) as f:
         meta = json.load(f)
     fovx = float(meta["camera_angle_x"])
+    # Optional size keys (instant-ngp-style datasets and our synthetic
+    # generator carry them; classic Blender scenes are 800x800).
+    width = int(meta.get("w", width))
+    height = int(meta.get("h", height))
     root = os.path.dirname(os.path.abspath(transforms_path))
     cams = []
     for frame in meta["frames"]:
