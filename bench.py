@@ -62,10 +62,30 @@ def main():
     )
     target = jax.random.uniform(jax.random.PRNGKey(1), (3, height, width))
 
+    # Exact alignment-padding pool for this scene (overflow-flag guarded):
+    # the default worst-case pool is num_tiles*128 ≈ 1.04M extra pair slots
+    # that every sort/gather pass would otherwise carry.
+    from stopthepop_tpu.render.duplicate import rect_histogram
+    from stopthepop_tpu.render.pipeline import tile_grid
+    from stopthepop_tpu.render.preprocess import preprocess
+
+    prep = preprocess(
+        model.means3d, model.opacities(), scales=model.scales(),
+        rotations=model.rotations_normalized(), shs=model.shs(),
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+        campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        image_width=width, image_height=height, sh_degree=0,
+        rect_bounding=True, tight_opacity_bounding=True,
+    )
+    gx, gy = tile_grid(width, height)
+    counts = rect_histogram(prep, gx, gy)
+    pad_pool = (int(jnp.sum((-counts) % 128)) + 128 * 16 + 127) // 128 * 128
+
     def loss_fn(model):
         color, _ = render_model(
             model, cam_arrays, static=static,
-            pair_capacity=capacity, interpret=interpret,
+            pair_capacity=capacity, pad_capacity=pad_pool,
+            interpret=interpret,
         )
         return rgb_loss(color, target)
 

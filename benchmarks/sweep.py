@@ -41,6 +41,9 @@ from stopthepop_tpu.utils.testing import make_camera
 
 
 def measure_capacity(model, cam, width, height, *, tile_x, tile_y, culling):
+    from stopthepop_tpu.render.duplicate import rect_histogram
+    from stopthepop_tpu.render.pipeline import tile_grid
+
     prep = preprocess(
         model.means3d, model.opacities(), scales=model.scales(),
         rotations=model.rotations_normalized(), shs=model.shs(),
@@ -51,7 +54,14 @@ def measure_capacity(model, cam, width, height, *, tile_x, tile_y, culling):
         tile_x=tile_x, tile_y=tile_y,
     )
     measured = int(jnp.sum(prep.tiles_touched))
-    return (int(measured * 1.1) + 127) // 128 * 128, measured
+    # Exact per-tile alignment-padding need for this (static) scene, so the
+    # shared pad pool carries no worst-case slack (the overflow flag still
+    # guards the bound at runtime).
+    gx, gy = tile_grid(width, height, tile_x, tile_y)
+    counts = rect_histogram(prep, gx, gy)
+    pad_pool = int(jnp.sum((-counts) % 128))
+    capacity = (int(measured * 1.1) + 127) // 128 * 128
+    return capacity, measured, (pad_pool + 128 * 16 + 127) // 128 * 128
 
 
 def main():
@@ -76,7 +86,7 @@ def main():
         (False, True), (None, (32, 16), (32, 32)), (False, True)
     ):
         tx, ty = tile_shape if tile_shape else (16, 16)
-        capacity, measured = measure_capacity(
+        capacity, measured, pad_pool = measure_capacity(
             model, cam, width, height, tile_x=tx, tile_y=ty, culling=culling,
         )
         settings = ExtendedSettings()
@@ -95,8 +105,8 @@ def main():
         def loss_fn(m):
             color, _ = render_model(
                 m, cams, static=static, pair_capacity=capacity,
-                tile_shape=tile_shape, carry_bf16=carry_bf16,
-                interpret=interpret,
+                pad_capacity=pad_pool, tile_shape=tile_shape,
+                carry_bf16=carry_bf16, interpret=interpret,
             )
             return rgb_loss(color, target)
 
@@ -119,6 +129,7 @@ def main():
             "carry_bf16": carry_bf16,
             "pairs": measured,
             "capacity": capacity,
+            "pad_pool": pad_pool,
             "mpix_s": round(width * height / dt / 1e6, 2),
             "ms": round(dt * 1000, 1),
         }), flush=True)

@@ -299,6 +299,7 @@ def build_pairs_aligned(
     image_height: int = 0,
     tile_x: int = TILE_X,
     tile_y: int = TILE_Y,
+    pad_capacity=None,
 ):
     """Fused pair build producing the align-padded layout in ONE sort.
 
@@ -333,12 +334,13 @@ def build_pairs_aligned(
         num_tiles=num_tiles, align=align,
         num_rendered=num_rendered, overflow=overflow,
         gauss_offsets=jnp.cumsum(prep.tiles_touched).astype(jnp.int32),
+        pad_capacity=pad_capacity,
     )
 
 
 def sort_stream_aligned(
     tile_id, depth_key, g, counts, *, num_tiles: int, align: int,
-    num_rendered, overflow, gauss_offsets=None,
+    num_rendered, overflow, gauss_offsets=None, pad_capacity=None,
 ):
     """Sort a raw pair stream into the align-padded per-tile layout.
 
@@ -348,24 +350,41 @@ def sort_stream_aligned(
     accumulates pairs over ``ppermute`` rotations — reuse the same
     pad-into-sort trick. ``counts`` must be the exact per-tile count of
     valid entries in the stream.
+
+    ``pad_capacity`` (static) bounds the shared padding pool. The worst
+    case is ``num_tiles * (align - 1)`` (the ``None`` default rounds up to
+    ``num_tiles * align``), but per-tile pad needs are remainders mod
+    ``align`` — across thousands of tiles their sum concentrates near
+    ``num_tiles * align / 2``, so a ~0.6 * worst-case pool cuts every
+    downstream pair-domain cost (this sort itself, the payload gather, the
+    blend DMA footprint) by ~20% of the padding share. Exceeding the pool
+    is detected and reported through the returned ``overflow`` flag (the
+    same contract as pair-capacity overflow); segment starts are clamped
+    in-range so the render stays memory-safe (output garbage, flagged).
     """
     capacity = tile_id.shape[0]
     pad_needed = (-counts) % align  # [T]
+    if pad_capacity is None:
+        pad_capacity = num_tiles * align
+    pad_capacity = min(pad_capacity, num_tiles * align)
 
-    # Padding block [T, align]: row t contributes pad_needed[t] entries of
-    # (tile t, depth +inf); the rest are INVALID sentinels. Pure broadcasting
-    # - no gather.
-    col = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, align), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, align), 0)
-    keep = col < pad_needed[:, None]
-    pad_tile = jnp.where(keep, row, INVALID_TILE_ID).reshape(-1)
-    pad_depth = jnp.full((num_tiles * align,), jnp.inf, jnp.float32)
-    pad_gid = jnp.zeros((num_tiles * align,), jnp.int32)
+    # Shared padding pool: tile t contributes pad_needed[t] entries of
+    # (tile t, depth +inf), laid out densely by the same rank-expansion the
+    # pair stream uses; slots past the total (or past the pool) are INVALID
+    # sentinels that sort to the global end.
+    pad_off = jnp.cumsum(pad_needed).astype(jnp.int32)  # inclusive [T]
+    total_pad = pad_off[-1] if num_tiles else jnp.int32(0)
+    pad_overflow = total_pad > pad_capacity
+    t_of_pad = jnp.clip(rank_expand(pad_off, pad_capacity), 0, num_tiles - 1)
+    pad_valid = jnp.arange(pad_capacity, dtype=jnp.int32) < total_pad
+    pad_tile = jnp.where(pad_valid, t_of_pad, INVALID_TILE_ID)
+    pad_depth = jnp.full((pad_capacity,), jnp.inf, jnp.float32)
+    pad_gid = jnp.zeros((pad_capacity,), jnp.int32)
 
     # The pre-sort slot index rides through the sort so the payload VJP can
     # invert the permutation with a second (cheap) integer sort instead of a
     # scatter — TPU scatters run ~10x slower than gathers.
-    total = capacity + num_tiles * align
+    total = capacity + pad_capacity
     s_tile, s_depth, s_gid, s_slot = jax.lax.sort(
         (
             jnp.concatenate([tile_id, pad_tile]),
@@ -376,9 +395,16 @@ def sort_stream_aligned(
         num_keys=2,
     )
 
+    # On pad-pool overflow some tiles miss their padding, so the aligned
+    # layout assumption breaks; clamp starts in-range (memory safety) and
+    # report. Without overflow the clamp is the identity.
     aligned = counts + pad_needed
     seg_incl = jnp.cumsum(aligned)
     seg_starts = (seg_incl - aligned).astype(jnp.int32)
+    seg_starts = jnp.minimum(
+        seg_starts, jnp.maximum(total - aligned.astype(jnp.int32), 0)
+    )
+    overflow = overflow | pad_overflow
     pairs = PairBuffer(
         tile_id=s_tile,
         depth=s_depth,

@@ -106,6 +106,7 @@ def render_tiled(
     carry_bf16: bool = False,
     tile_x: int = TILE_X,
     tile_y: int = TILE_Y,
+    pad_capacity=None,
     interpret: bool = False,
 ):
     """GLOBAL-mode tiled render. Returns (color, final_T, n_contrib, pairs).
@@ -133,6 +134,7 @@ def render_tiled(
         inverse_vp=inverse_vp,
         image_width=image_width,
         image_height=image_height,
+        pad_capacity=pad_capacity,
         tile_x=tile_x,
         tile_y=tile_y,
     )
@@ -186,6 +188,7 @@ def render_tiled_kbuffer(
     chunk: int = 128,
     seg_cap: int = 16384,
     carry_bf16: bool = False,
+    pad_capacity=None,
     interpret: bool = False,
 ):
     """PER_PIXEL_KBUFFER tiled render. Returns (color, final_T, n_contrib,
@@ -204,6 +207,7 @@ def render_tiled_kbuffer(
         inverse_vp=inverse_vp,
         image_width=image_width,
         image_height=image_height,
+        pad_capacity=pad_capacity,
     )
     payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16)
     cam = jnp.concatenate(
@@ -233,6 +237,7 @@ def render_tiled_full(
     tile_based_culling: bool = False,
     seg_full: int = 2048,
     chunk: int = 128,
+    pad_capacity=None,
     interpret: bool = False,
 ):
     """PER_PIXEL_FULL tiled render (exact per-ray sort; forward only, like
@@ -255,6 +260,7 @@ def render_tiled_full(
         inverse_vp=inverse_vp,
         image_width=image_width,
         image_height=image_height,
+        pad_capacity=pad_capacity,
     )
     payload = build_payload_kbuffer(prep, segs, chunk, capacity)
     cam = jnp.concatenate(
@@ -291,6 +297,7 @@ def render_tiled_hier(
     chunk: int = 128,
     seg_cap: int = 16384,
     carry_bf16: bool = False,
+    pad_capacity=None,
     interpret: bool = False,
 ):
     """HIERARCHICAL tiled render. Returns (color, final_T, n_contrib,
@@ -311,6 +318,7 @@ def render_tiled_hier(
         inverse_vp=inverse_vp,
         image_width=image_width,
         image_height=image_height,
+        pad_capacity=pad_capacity,
     )
     payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16)
     cam = jnp.concatenate(

@@ -111,6 +111,7 @@ def _rasterize_impl(
     raster_settings: GaussianRasterizationSettings,
     *,
     pair_capacity: Optional[int] = None,
+    pad_capacity: Optional[int] = None,
     seg_cap: int = 16384,
     seg_full: int = 2048,
     full_mode: str = "auto",
@@ -127,6 +128,13 @@ def _rasterize_impl(
     ``render_depth=True`` in the settings maps to the Depth debug
     visualization exactly like the reference (rasterize_points.cu:104-107):
     the returned image is the colormapped visualization.
+
+    ``pad_capacity`` (static) bounds the shared per-tile alignment-padding
+    pool of the fused sort (default: the worst case ``num_tiles * chunk``).
+    Benchmarks/trainers that probe their scenes can pass the measured exact
+    need — every pair-domain stage (sort, payload gather, backward unsort)
+    shrinks by the slack; overflow is detected and reported like pair
+    overflow.
     """
     rs = raster_settings
     ext = rs.settings
@@ -235,6 +243,7 @@ def _rasterize_impl(
                 image_width=W,
                 image_height=H,
                 capacity=capacity,
+            pad_capacity=pad_capacity,
                 campos=rs.campos,
                 inverse_vp=rs.inv_viewprojmatrix,
                 sort_order=sort_order,
@@ -250,6 +259,7 @@ def _rasterize_impl(
             image_width=W,
             image_height=H,
             capacity=capacity,
+            pad_capacity=pad_capacity,
             sort_order=sort_order,
             tile_based_culling=ext.culling_settings.tile_based_culling,
             campos=rs.campos,
@@ -268,6 +278,7 @@ def _rasterize_impl(
             image_width=W,
             image_height=H,
             capacity=capacity,
+            pad_capacity=pad_capacity,
             campos=rs.campos,
             inverse_vp=rs.inv_viewprojmatrix,
             k=int(ext.sort_settings.queue_sizes.per_pixel),
@@ -286,6 +297,7 @@ def _rasterize_impl(
             image_width=W,
             image_height=H,
             capacity=capacity,
+            pad_capacity=pad_capacity,
             campos=rs.campos,
             inverse_vp=rs.inv_viewprojmatrix,
             queue_sizes=(int(qs.tile_4x4), int(qs.tile_2x2), int(qs.per_pixel)),

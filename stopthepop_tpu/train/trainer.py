@@ -144,6 +144,7 @@ def make_train_step(
     static: GaussianRasterizationSettings,
     lambda_dssim: float = 0.2,
     pair_capacity: Optional[int] = None,
+    pad_capacity: Optional[int] = None,
     seg_cap: int = 16384,
     interpret: bool = False,
 ):
@@ -156,8 +157,8 @@ def make_train_step(
         def loss_fn(model, m2d):
             out = render_model(
                 model, cam, static=static, means2d_dummy=m2d,
-                pair_capacity=pair_capacity, seg_cap=seg_cap,
-                interpret=interpret, full_output=True,
+                pair_capacity=pair_capacity, pad_capacity=pad_capacity,
+                seg_cap=seg_cap, interpret=interpret, full_output=True,
             )
             loss = rgb_loss(out.color, target, lambda_dssim)
             return loss, (out.radii, out.overflow, out.grad_overflow)
@@ -192,6 +193,7 @@ def make_batched_train_step(
     static: GaussianRasterizationSettings,
     lambda_dssim: float = 0.2,
     pair_capacity: Optional[int] = None,
+    pad_capacity: Optional[int] = None,
     seg_cap: int = 16384,
     interpret: bool = False,
 ):
@@ -218,8 +220,8 @@ def make_batched_train_step(
         def one(model, m2d, cam, target):
             out = render_model(
                 model, cam, static=static, means2d_dummy=m2d,
-                pair_capacity=pair_capacity, seg_cap=seg_cap,
-                interpret=interpret, full_output=True,
+                pair_capacity=pair_capacity, pad_capacity=pad_capacity,
+                seg_cap=seg_cap, interpret=interpret, full_output=True,
             )
             loss = rgb_loss(out.color, target, lambda_dssim)
             return loss, (out.radii, out.overflow)
