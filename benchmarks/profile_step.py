@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from stopthepop_tpu.config import (
     ExtendedSettings,
     GaussianRasterizationSettings,
+    SortMode,
 )
 from stopthepop_tpu.models.gaussians import init_random
 from stopthepop_tpu.train.loss import rgb_loss
@@ -68,6 +69,7 @@ def build_step(args):
     capacity = (int(int(jnp.sum(prep.tiles_touched)) * 1.1) + 127) // 128 * 128
 
     settings = ExtendedSettings()
+    settings.sort_settings.sort_mode = SortMode[args.mode]
     settings.culling_settings.rect_bounding = not args.no_culling
     settings.culling_settings.tight_opacity_bounding = not args.no_culling
     static = GaussianRasterizationSettings(
@@ -93,8 +95,10 @@ def build_step(args):
     @jax.jit
     def run(m):
         def it(i, acc):
-            g = grad(m._replace(means3d=m.means3d + acc * 1e-12))
-            return acc + jnp.mean(g.means3d)
+            m2 = m._replace(means3d=m.means3d + acc * 1e-12)
+            if args.fwd_only:
+                return acc + loss_fn(m2)
+            return acc + jnp.mean(grad(m2).means3d)
         return jax.lax.fori_loop(0, args.iters, it, jnp.float32(0.0))
 
     return run, model, capacity
@@ -151,6 +155,9 @@ def main():
     ap.add_argument("--gaussians", type=int, default=500_000)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--tile", default="16x16")
+    ap.add_argument("--mode", default="GLOBAL",
+                    choices=[m.name for m in SortMode])
+    ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--carry-bf16", action="store_true")
     ap.add_argument("--no-culling", action="store_true")
     ap.add_argument("--top", type=int, default=30)
