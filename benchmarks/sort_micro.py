@@ -1,0 +1,102 @@
+"""Microbenchmarks behind the global-sort design decision (VERDICT #3).
+
+The reference's cheap stage is a CUB radix sort (rasterizer_impl.cu:344-362);
+the suggested TPU analog was a Pallas tile-bucketed counting sort. A counting
+sort's distribution phase is a *random scatter* of millions of rows — and TPU
+has no scatter primitive: XLA lowers it to a serial per-row loop, and a
+Pallas kernel could only emulate it with per-row DMAs (~µs each). This
+harness measures the actual primitive rates at production sizes so the
+tradeoff is recorded with numbers rather than folklore:
+
+  * lax.sort with 2 keys + N carried values (the fused pad-into-sort path);
+  * lax.sort with 1 key (what a pre-bucketed merge would still need per
+    bucket, amortized);
+  * scatter (at[].set) of the same rows — the counting sort's distribution;
+  * row gather at the same width — the permutation-apply alternative.
+
+Run on the real chip; timing is device-only (fori_loop inside one jit with
+varied inputs).
+
+    PYTHONPATH=/root/repo python benchmarks/sort_micro.py --n 3240000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, args, iters=10):
+    @jax.jit
+    def run(a):
+        def it(i, carry):
+            acc, a = carry
+            out = fn(i, a)
+            return acc + out, a
+        acc, _ = jax.lax.fori_loop(0, iters, it, (jnp.float32(0.0), a))
+        return acc
+
+    jax.block_until_ready(run(args))
+    t0 = time.time()
+    jax.block_until_ready(run(args))
+    return (time.time() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=3_240_000)
+    ap.add_argument("--tiles", type=int, default=8160)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    n, T = args.n, args.tiles
+    key = jax.random.PRNGKey(0)
+    tile = jax.random.randint(key, (n,), 0, T, jnp.int32)
+    depth = jax.random.uniform(jax.random.PRNGKey(1), (n,))
+    vals = [
+        jax.random.uniform(jax.random.PRNGKey(2 + j), (n,)) for j in range(9)
+    ]
+    perm = jax.random.permutation(jax.random.PRNGKey(11), n)
+    table = jax.random.uniform(jax.random.PRNGKey(12), (n, 9))
+
+    def vary(i, x):
+        # Perturb so the tunnel/jit cache can't return memoized results.
+        return x + (i % 2).astype(x.dtype) if x.dtype != jnp.int32 else x
+
+    cases = {
+        "sort 2key+2val": lambda i, a: jax.lax.sort(
+            (a[0], vary(i, a[1]), jnp.arange(n, dtype=jnp.int32),
+             jnp.arange(n, dtype=jnp.int32)), num_keys=2)[1].sum(),
+        "sort 2key+1val": lambda i, a: jax.lax.sort(
+            (a[0], vary(i, a[1]), jnp.arange(n, dtype=jnp.int32)),
+            num_keys=2)[1].sum(),
+        "sort 1key+5val": lambda i, a: jax.lax.sort(
+            tuple([a[0]] + [vary(i, v) for v in a[2][:5]]),
+            num_keys=1)[1].sum(),
+        "sort 1key+9val": lambda i, a: jax.lax.sort(
+            tuple([a[0]] + [vary(i, v) for v in a[2]]), num_keys=1)[1].sum(),
+        "scatter n rows (set)": lambda i, a: jnp.zeros((n,)).at[a[3]].set(
+            vary(i, a[1])).sum(),
+        "scatter-add n rows": lambda i, a: jnp.zeros((n,)).at[a[3]].add(
+            vary(i, a[1])).sum(),
+        "gather n x 9 rows": lambda i, a: (a[4] + vary(i, a[1])[:, None])[
+            a[3]].sum(),
+        "tile histogram (scatter-add)": lambda i, a: jnp.zeros(
+            (T,), jnp.int32).at[a[0]].add(1, mode="drop").sum()
+            + vary(i, a[1]).sum() * 0,
+    }
+    packed = (tile, depth, vals, perm, table)
+    for name, fn in cases.items():
+        dt = timed(fn, packed, args.iters)
+        print(json.dumps({
+            "case": name,
+            "ms": round(dt * 1000, 2),
+            "ns_per_row": round(dt / n * 1e9, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
