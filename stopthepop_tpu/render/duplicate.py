@@ -300,6 +300,7 @@ def build_pairs_aligned(
     tile_x: int = TILE_X,
     tile_y: int = TILE_Y,
     pad_capacity=None,
+    carry_slot: bool = True,
 ):
     """Fused pair build producing the align-padded layout in ONE sort.
 
@@ -335,12 +336,14 @@ def build_pairs_aligned(
         num_rendered=num_rendered, overflow=overflow,
         gauss_offsets=jnp.cumsum(prep.tiles_touched).astype(jnp.int32),
         pad_capacity=pad_capacity,
+        carry_slot=carry_slot,
     )
 
 
 def sort_stream_aligned(
     tile_id, depth_key, g, counts, *, num_tiles: int, align: int,
     num_rendered, overflow, gauss_offsets=None, pad_capacity=None,
+    carry_slot: bool = True,
 ):
     """Sort a raw pair stream into the align-padded per-tile layout.
 
@@ -383,17 +386,21 @@ def sort_stream_aligned(
 
     # The pre-sort slot index rides through the sort so the payload VJP can
     # invert the permutation with a second (cheap) integer sort instead of a
-    # scatter — TPU scatters run ~10x slower than gathers.
+    # scatter — TPU scatters run ~10x slower than gathers. When the caller
+    # can reconstruct slots post-sort (make_segment_gather_recon), the sort
+    # drops that operand (carry_slot=False): sort cost is per-operand.
     total = capacity + pad_capacity
-    s_tile, s_depth, s_gid, s_slot = jax.lax.sort(
-        (
-            jnp.concatenate([tile_id, pad_tile]),
-            jnp.concatenate([depth_key, pad_depth]),
-            jnp.concatenate([g, pad_gid]),
-            jnp.arange(total, dtype=jnp.int32),
-        ),
-        num_keys=2,
+    operands = (
+        jnp.concatenate([tile_id, pad_tile]),
+        jnp.concatenate([depth_key, pad_depth]),
+        jnp.concatenate([g, pad_gid]),
     )
+    if carry_slot:
+        operands = operands + (jnp.arange(total, dtype=jnp.int32),)
+        s_tile, s_depth, s_gid, s_slot = jax.lax.sort(operands, num_keys=2)
+    else:
+        s_tile, s_depth, s_gid = jax.lax.sort(operands, num_keys=2)
+        s_slot = None
 
     # On pad-pool overflow some tiles miss their padding, so the aligned
     # layout assumption breaks; clamp starts in-range (memory safety) and
@@ -445,6 +452,74 @@ def sort_stream_aligned(
 # with an entirely sort/scan-shaped — and still deterministic — reduction.
 
 
+def _carry_sort_segment_reduce(orig_slot, d_out, offsets, capacity,
+                               grad_cols, carry_bf16):
+    """The shared backward: unsort pair cotangents to pre-sort (Gaussian-
+    contiguous) order by carrying them through one sort keyed on the slot,
+    then reduce each Gaussian's contiguous range with an MXU-blocked prefix
+    sum and one [P]-row gather. Returns d_table [P, F]."""
+    F, C = d_out.shape
+    cap = C if capacity is None else min(capacity, C)
+    ncols = F if grad_cols is None else min(grad_cols, F)
+    if carry_bf16:
+        cols = [d_out[j] for j in range(ncols)]
+        if len(cols) % 2:
+            cols.append(jnp.zeros_like(cols[0]))
+
+        def pack(a, b):
+            ha = jax.lax.bitcast_convert_type(
+                a.astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            hb = jax.lax.bitcast_convert_type(
+                b.astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            return ((ha << 16) | hb).astype(jnp.int32)
+
+        carriers = [pack(a, b) for a, b in zip(cols[0::2], cols[1::2])]
+        sorted_packed = jax.lax.sort(
+            tuple([orig_slot] + carriers), num_keys=1
+        )
+
+        def unpack(c):
+            u = c.astype(jnp.uint32)
+            hi = jax.lax.bitcast_convert_type(
+                (u >> 16).astype(jnp.uint16), jnp.bfloat16
+            )
+            lo = jax.lax.bitcast_convert_type(
+                (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+            )
+            return hi.astype(jnp.float32), lo.astype(jnp.float32)
+
+        sorted_cols = [sorted_packed[0]]
+        for c in sorted_packed[1:]:
+            sorted_cols.extend(unpack(c))
+        sorted_cols = sorted_cols[: 1 + ncols]
+    else:
+        sorted_cols = jax.lax.sort(
+            tuple([orig_slot] + [d_out[j] for j in range(ncols)]),
+            num_keys=1,
+        )
+    # Feature-major [ncols, cap]: the stack is a cheap concat of contiguous
+    # columns, and the prefix scan rides the MXU-blocked cumsum along lanes
+    # (jnp.cumsum here measured ~10 ms at 1080p/500K; see ops/scan.py).
+    d_un = jnp.stack([c[:cap] for c in sorted_cols[1:]], axis=0)
+    d_un = jax.lax.optimization_barrier(d_un)
+    cs0 = jnp.pad(cumsum_mxu(d_un), ((0, 0), (1, 0)))  # [ncols, cap+1]
+    # Materialize row-major before the gather (barrier keeps XLA from
+    # fusing the transpose into a strided-lane gather).
+    cs0 = jax.lax.optimization_barrier(cs0.T)
+    offsets = jnp.minimum(offsets, cap)  # overflowed pairs were dropped
+    # prev[g] == offsets[g-1], so one gather + a shift covers both
+    # segment edges (saves a second [P, F] gather).
+    cs_at = cs0[offsets]
+    d_table = cs_at - jnp.concatenate(
+        [jnp.zeros((1, ncols), d_out.dtype), cs_at[:-1]], axis=0
+    )
+    if ncols < F:
+        d_table = jnp.pad(d_table, ((0, 0), (0, F - ncols)))
+    return d_table
+
+
 @functools.lru_cache(maxsize=None)
 def make_segment_gather(capacity=None, grad_cols=None, carry_bf16=False):
     """Build (and cache) the transposed gather op for one static config.
@@ -482,71 +557,9 @@ def make_segment_gather(capacity=None, grad_cols=None, carry_bf16=False):
         import numpy as np
 
         orig_slot, offsets = res
-        F, C = d_out.shape
-        cap = C if capacity is None else min(capacity, C)
-        ncols = F if grad_cols is None else min(grad_cols, F)
-        # Carry the cotangent columns through the unsort itself: ascending
-        # pre-sort slot order is Gaussian-contiguous, and slots >= cap (the
-        # alignment-padding block) sort to the end and are dropped.
-        if carry_bf16:
-            cols = [d_out[j] for j in range(ncols)]
-            if len(cols) % 2:
-                cols.append(jnp.zeros_like(cols[0]))
-
-            def pack(a, b):
-                ha = jax.lax.bitcast_convert_type(
-                    a.astype(jnp.bfloat16), jnp.uint16
-                ).astype(jnp.uint32)
-                hb = jax.lax.bitcast_convert_type(
-                    b.astype(jnp.bfloat16), jnp.uint16
-                ).astype(jnp.uint32)
-                return ((ha << 16) | hb).astype(jnp.int32)
-
-            carriers = [
-                pack(a, b) for a, b in zip(cols[0::2], cols[1::2])
-            ]
-            sorted_packed = jax.lax.sort(
-                tuple([orig_slot] + carriers), num_keys=1
-            )
-
-            def unpack(c):
-                u = c.astype(jnp.uint32)
-                hi = jax.lax.bitcast_convert_type(
-                    (u >> 16).astype(jnp.uint16), jnp.bfloat16
-                )
-                lo = jax.lax.bitcast_convert_type(
-                    (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
-                )
-                return hi.astype(jnp.float32), lo.astype(jnp.float32)
-
-            sorted_cols = [sorted_packed[0]]
-            for c in sorted_packed[1:]:
-                sorted_cols.extend(unpack(c))
-            sorted_cols = sorted_cols[: 1 + ncols]
-        else:
-            sorted_cols = jax.lax.sort(
-                tuple([orig_slot] + [d_out[j] for j in range(ncols)]),
-                num_keys=1,
-            )
-        # Feature-major [ncols, cap]: the stack is a cheap concat of
-        # contiguous columns, and the prefix scan rides the MXU-blocked
-        # cumsum along lanes (jnp.cumsum here measured ~10 ms at 1080p/500K;
-        # see ops/scan.py).
-        d_un = jnp.stack([c[:cap] for c in sorted_cols[1:]], axis=0)
-        d_un = jax.lax.optimization_barrier(d_un)
-        cs0 = jnp.pad(cumsum_mxu(d_un), ((0, 0), (1, 0)))  # [ncols, cap+1]
-        # Materialize row-major before the gather (barrier keeps XLA from
-        # fusing the transpose into a strided-lane gather).
-        cs0 = jax.lax.optimization_barrier(cs0.T)
-        offsets = jnp.minimum(offsets, cap)  # overflowed pairs were dropped
-        # prev[g] == offsets[g-1], so one gather + a shift covers both
-        # segment edges (saves a second [P, F] gather).
-        cs_at = cs0[offsets]
-        d_table = cs_at - jnp.concatenate(
-            [jnp.zeros((1, ncols), d_out.dtype), cs_at[:-1]], axis=0
+        d_table = _carry_sort_segment_reduce(
+            orig_slot, d_out, offsets, capacity, grad_cols, carry_bf16
         )
-        if ncols < F:
-            d_table = jnp.pad(d_table, ((0, 0), (0, F - ncols)))
 
         def int0(x):
             return np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -563,6 +576,90 @@ def segment_gather(table, gauss_id, orig_slot, gauss_offsets, capacity=None,
     return make_segment_gather(capacity, grad_cols, carry_bf16)(
         table, gauss_id, orig_slot, gauss_offsets
     )
+
+
+def recon_table_columns(prep: PreprocessOutput):
+    """[P, 2] f32-bitcast recon columns: (pair base offset, packed rect).
+
+    Appended to a payload table, they let the segment gather reconstruct
+    each pair's pre-sort slot after the fact (make_segment_gather_recon), so
+    the forward sort needs not carry the slot operand. Packing bounds:
+    rect mins and width each < 1024 tiles (16K pixels/axis at 16px tiles).
+    """
+    offsets = jnp.cumsum(prep.tiles_touched).astype(jnp.int32)
+    base = jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-1]])
+    width = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
+    packed = (
+        (prep.rect_min[:, 0] << 20)
+        | (prep.rect_min[:, 1] << 10)
+        | width
+    ).astype(jnp.int32)
+    cols = jnp.stack([base, packed], axis=1)
+    return jax.lax.bitcast_convert_type(cols, jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def make_segment_gather_recon(capacity, grid_x, grad_cols=None,
+                              carry_bf16=False):
+    """segment_gather without a carried slot operand.
+
+    The forward sort's dominant cost is per carried operand (measured
+    ~2.5-3 ms per operand at 3.2M pairs); the pre-sort slot index it used
+    to carry for the backward unsort is reconstructible instead: the
+    expansion maps slot i to (gaussian g, tile ty*grid_x+tx) via
+    ``local = i - base[g]; ty = rmin_y + local // w; tx = rmin_x + local %
+    w`` (expand_pairs), so ``slot = base[g] + (ty - rmin_y[g]) * w[g] +
+    (tx - rmin_x[g])`` — and base/rect ride the payload gather for free
+    (TPU row gathers cost per row, not per byte; recon_table_columns).
+
+    Preconditions (enforced at the call site in render/pipeline.py):
+    no tile-based culling (culled pairs would leave slot holes that break
+    the segment reduction), grids <= 1024 tiles per axis (packing). The
+    forward is bitwise-identical to the carried-slot path (lax.sort is
+    stable, so dropping a carried operand cannot change the order); the
+    backward matches up to float-summation blocking (the two recon rows
+    change the MXU cumsum tiling — observed 1-ulp differences).
+
+    ``s_tile``/``pair_valid`` are the sorted tile ids and validity mask;
+    invalid and alignment-padding entries get the ``capacity`` sentinel
+    slot, which sorts past every real slot and is dropped by the backward's
+    [:capacity] bound exactly like the padding block used to be.
+    """
+
+    @jax.custom_vjp
+    def gather(table, gauss_id, s_tile, pair_valid, gauss_offsets):
+        return table[gauss_id].T
+
+    def _slot_from(out_t, s_tile, pair_valid):
+        ints = jax.lax.bitcast_convert_type(out_t[-2:].T, jnp.int32)
+        base, packed = ints[:, 0], ints[:, 1]
+        rmin_x = packed >> 20
+        rmin_y = (packed >> 10) & 0x3FF
+        w = packed & 0x3FF
+        tx = s_tile % grid_x
+        ty = s_tile // grid_x
+        local = (ty - rmin_y) * w + (tx - rmin_x)
+        return jnp.where(pair_valid, base + local, capacity).astype(jnp.int32)
+
+    def gather_fwd(table, gauss_id, s_tile, pair_valid, gauss_offsets):
+        out_t = table[gauss_id].T
+        return out_t, (_slot_from(out_t, s_tile, pair_valid), gauss_offsets)
+
+    def gather_bwd(res, d_out):
+        import numpy as np
+
+        slot, offsets = res
+        d_table = _carry_sort_segment_reduce(
+            slot, d_out, offsets, capacity, grad_cols, carry_bf16
+        )
+
+        def int0(x):
+            return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+        return (d_table, int0(slot), int0(slot), int0(slot), int0(offsets))
+
+    gather.defvjp(gather_fwd, gather_bwd)
+    return gather
 
 
 @functools.lru_cache(maxsize=None)

@@ -33,6 +33,7 @@ from .duplicate import (
     align_segments,
     build_pairs,
     build_pairs_aligned,
+    recon_table_columns,
     segment_gather,
 )
 from .preprocess import PreprocessOutput
@@ -48,13 +49,30 @@ def tile_grid(width: int, height: int, tile_x: int = TILE_X,
 
 
 def _payload_gather(table, segs: AlignedSegments, capacity=None,
-                    grad_cols=None, carry_bf16=False):
+                    grad_cols=None, carry_bf16=False, recon=None):
     """table[gauss_id].T (feature-major), with the carry-sort VJP when the
     fused pair build supplied the sort permutation. ``capacity`` (static)
     bounds the real (non-padding) pre-sort slots for the backward;
     ``grad_cols`` limits it to the leading differentiable columns;
     ``carry_bf16`` opts the backward into bf16-packed cotangent carriers
-    (see segment_gather)."""
+    (see segment_gather).
+
+    ``recon = (recon_cols [P, 2], s_tile [C], pair_valid [C], grid_x)``
+    selects the slot-reconstruction VJP (make_segment_gather_recon): the
+    forward sort then carries no slot operand; the recon columns join this
+    gather (free: row gathers cost per row) and are sliced off the output.
+    """
+    if recon is not None:
+        from .duplicate import make_segment_gather_recon
+
+        recon_cols, s_tile, pair_valid, grid_x = recon
+        table2 = jnp.concatenate(
+            [table, jax.lax.stop_gradient(recon_cols)], axis=1
+        )
+        out = make_segment_gather_recon(
+            capacity, grid_x, grad_cols, carry_bf16,
+        )(table2, segs.gauss_id, s_tile, pair_valid, segs.gauss_offsets)
+        return out[:-2]
     if segs.orig_slot is not None:
         return segment_gather(
             table, segs.gauss_id, segs.orig_slot, segs.gauss_offsets,
@@ -64,7 +82,8 @@ def _payload_gather(table, segs: AlignedSegments, capacity=None,
 
 
 def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int,
-                  capacity: int = None, carry_bf16: bool = False):
+                  capacity: int = None, carry_bf16: bool = False,
+                  recon=None):
     """Gather the feature-major blend payload [16, C_aligned + chunk].
 
     A differentiable gather: its VJP scatter-adds payload gradients back to
@@ -83,7 +102,8 @@ def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int,
     )  # [P, 10] — one wide gather beats ten narrow ones on TPU
     # Only mean2d/conic/rgb (cols 0..8) carry gradients; depth is
     # stop-gradient and skips the backward reduction.
-    feats = _payload_gather(table, segs, capacity, 9, carry_bf16)  # [10, C]
+    feats = _payload_gather(table, segs, capacity, 9, carry_bf16,
+                            recon)  # [10, C]
     feats = jnp.concatenate(
         [feats, jnp.zeros((PAYLOAD_F - 10, ids.shape[0]), jnp.float32)],
         axis=0,
@@ -120,6 +140,10 @@ def render_tiled(
     with it — at ~1.3x blend-kernel work; a NET win on TPU at production
     sizes). ``prep`` must have been built with the same tile dims."""
     grid_x, grid_y = tile_grid(image_width, image_height, tile_x, tile_y)
+    # Slot reconstruction drops the sort's carried slot operand (sort cost
+    # is per-operand); tile-based culling leaves slot holes, so it keeps
+    # the carried slot (see make_segment_gather_recon).
+    use_recon = (not tile_based_culling) and grid_x <= 1024 and grid_y <= 1024
     # Segment alignment must equal the DMA chunk so the backward kernel's
     # full-chunk writes stay within each tile's own segment.
     pairs, segs = build_pairs_aligned(
@@ -137,8 +161,13 @@ def render_tiled(
         pad_capacity=pad_capacity,
         tile_x=tile_x,
         tile_y=tile_y,
+        carry_slot=not use_recon,
     )
-    payload = build_payload(prep, segs, chunk, capacity, carry_bf16)
+    recon = (
+        (recon_table_columns(prep), pairs.tile_id, pairs.valid, grid_x)
+        if use_recon else None
+    )
+    payload = build_payload(prep, segs, chunk, capacity, carry_bf16, recon)
     blend = make_blend_global(grid_x, grid_y, chunk, interpret, tile_x, tile_y)
     packed = blend(payload, segs.starts, segs.counts)
     color, final_t, n_contrib, depth_acc = unpack_image(
@@ -152,7 +181,7 @@ def render_tiled(
 
 def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
                           chunk: int, capacity: int = None,
-                          carry_bf16: bool = False):
+                          carry_bf16: bool = False, recon=None):
     """Gather the k-buffer blend payload [32, C_aligned + chunk].
 
     Differentiable gather (see build_payload); includes the packed inverse
@@ -168,7 +197,8 @@ def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
     )  # [P, 19]
     # cov3d_inv9 / power threshold rows get zero gradient (discrete
     # resort, like the reference) — restrict the VJP to cols 0..8.
-    feats = _payload_gather(table, segs, capacity, 9, carry_bf16)  # [19, C]
+    feats = _payload_gather(table, segs, capacity, 9, carry_bf16,
+                            recon)  # [19, C]
     feats = jnp.pad(feats, ((0, KB_PAYLOAD_F - feats.shape[0]), (0, chunk)))
     return feats
 
@@ -208,8 +238,14 @@ def render_tiled_kbuffer(
         image_width=image_width,
         image_height=image_height,
         pad_capacity=pad_capacity,
+        carry_slot=tile_based_culling or grid_x > 1024 or grid_y > 1024,
     )
-    payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16)
+    recon = (
+        None if (tile_based_culling or grid_x > 1024 or grid_y > 1024)
+        else (recon_table_columns(prep), pairs.tile_id, pairs.valid, grid_x)
+    )
+    payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16,
+                                    recon)
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)
@@ -261,6 +297,7 @@ def render_tiled_full(
         image_width=image_width,
         image_height=image_height,
         pad_capacity=pad_capacity,
+        carry_slot=False,
     )
     payload = build_payload_kbuffer(prep, segs, chunk, capacity)
     cam = jnp.concatenate(
@@ -319,8 +356,14 @@ def render_tiled_hier(
         image_width=image_width,
         image_height=image_height,
         pad_capacity=pad_capacity,
+        carry_slot=tile_based_culling or grid_x > 1024 or grid_y > 1024,
     )
-    payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16)
+    recon = (
+        None if (tile_based_culling or grid_x > 1024 or grid_y > 1024)
+        else (recon_table_columns(prep), pairs.tile_id, pairs.valid, grid_x)
+    )
+    payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16,
+                                    recon)
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)

@@ -158,3 +158,63 @@ def test_tiled_per_tile_depth_orders_match_oracle():
             np.asarray(n).reshape(-1) != np.asarray(n_o)
         ).mean()
         assert mismatched < 0.02  # near-threshold commit flips only
+
+
+def test_recon_gather_vjp_matches_carried_slot():
+    # The slot-reconstruction path (make_segment_gather_recon) must produce
+    # the same forward bitwise (lax.sort is stable, so dropping the carried
+    # slot operand cannot change the pair order) and the same gradients up
+    # to float-summation blocking: the recon table rides the payload table,
+    # so the MXU-blocked cumsum sees two extra rows and may tile the
+    # reduction differently (observed: 1-ulp differences).
+    from stopthepop_tpu.render.duplicate import (
+        build_pairs_aligned,
+        make_segment_gather_recon,
+        recon_table_columns,
+        segment_gather,
+    )
+
+    cam = make_camera(80, 64)
+    scene = random_scene(jax.random.PRNGKey(7), 250)
+    prep = _prep(scene, cam)
+    gx, gy = tile_grid(80, 64)
+    cap = int(count_pairs(prep)) + 32
+    table = jax.random.normal(jax.random.PRNGKey(8), (250, 6))
+
+    pairs_c, segs_c = build_pairs_aligned(
+        prep, capacity=cap, grid_x=gx, grid_y=gy, align=8, carry_slot=True
+    )
+    pairs_r, segs_r = build_pairs_aligned(
+        prep, capacity=cap, grid_x=gx, grid_y=gy, align=8, carry_slot=False
+    )
+    assert segs_r.orig_slot is None
+    np.testing.assert_array_equal(
+        np.asarray(segs_c.gauss_id), np.asarray(segs_r.gauss_id)
+    )
+
+    def f_carried(t):
+        out = segment_gather(
+            t, segs_c.gauss_id, segs_c.orig_slot, segs_c.gauss_offsets,
+            capacity=cap,
+        )
+        return out * jnp.arange(out.shape[1])[None, :]
+
+    def f_recon(t):
+        t2 = jnp.concatenate(
+            [t, jax.lax.stop_gradient(recon_table_columns(prep))], axis=1
+        )
+        out = make_segment_gather_recon(cap, gx)(
+            t2, segs_r.gauss_id, pairs_r.tile_id, pairs_r.valid,
+            segs_r.gauss_offsets,
+        )[:-2]
+        return out * jnp.arange(out.shape[1])[None, :]
+
+    out_c, vjp_c = jax.vjp(f_carried, table)
+    out_r, vjp_r = jax.vjp(f_recon, table)
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_r))
+    ct = jax.random.normal(jax.random.PRNGKey(9), out_c.shape)
+    (d_c,) = vjp_c(ct)
+    (d_r,) = vjp_r(ct)
+    np.testing.assert_allclose(
+        np.asarray(d_c), np.asarray(d_r), rtol=1e-5, atol=1e-5
+    )
