@@ -125,6 +125,42 @@ def count_pairs(prep: PreprocessOutput) -> jnp.ndarray:
     return jnp.sum(prep.tiles_touched)
 
 
+def rank_key_bits(num_tiles: int, num_gaussians: int):
+    """Static feasibility of the packed rank-key sort: rank_bits or None.
+
+    The packed u32 key is ``tile << rank_bits | depth_rank``. Tiles need
+    ``bit_length(num_tiles)`` bits (so the all-ones invalid sentinel stays
+    above every real tile); ranks need room for the ``num_gaussians`` real
+    ranks plus the all-ones per-tile padding sentinel. 1080p at 16x16 tiles
+    (8160 tiles, 13 bits) leaves 19 rank bits => P <= 524287.
+    """
+    tile_bits = max(1, int(num_tiles).bit_length())
+    rank_bits = 32 - tile_bits
+    if rank_bits <= 0 or num_gaussians > (1 << rank_bits) - 1:
+        return None
+    return rank_bits
+
+
+def depth_ranks(prep: PreprocessOutput) -> jnp.ndarray:
+    """[P] int32 depth rank per Gaussian (stable: ties keep index order).
+
+    The rank is a total order consistent with ``prep.depth``, so sorting
+    pairs by ``(tile, rank)`` is bitwise-identical to the stable
+    ``(tile, depth)`` sort: within a tile each Gaussian contributes at most
+    one pair and the pair stream is gid-major, so depth ties resolve to
+    ascending gid under both keys. Invalid Gaussians rank last (their pairs
+    carry the invalid sentinel key anyway).
+    """
+    P = prep.depth.shape[0]
+    depth_m = jax.lax.stop_gradient(
+        jnp.where(prep.valid, prep.depth, jnp.inf)
+    )
+    iota = jnp.arange(P, dtype=jnp.int32)
+    _, order = jax.lax.sort((depth_m, iota), num_keys=1)
+    _, rank = jax.lax.sort((order, iota), num_keys=1)
+    return rank
+
+
 def expand_pairs(
     prep: PreprocessOutput,
     *,
@@ -139,10 +175,18 @@ def expand_pairs(
     image_height: int = 0,
     tile_x: int = TILE_X,
     tile_y: int = TILE_Y,
+    rank=None,
+    rank_bits=None,
 ):
     """The "Duplicate" stage: expand + key + optionally tile-cull all pairs.
 
     Returns (tile_id, depth_key, gauss_id, num_rendered, overflow), unsorted.
+
+    With ``rank``/``rank_bits`` (per-Gaussian depth ranks, see depth_ranks —
+    only meaningful for the per-Gaussian Z_DEPTH/DISTANCE orders), the
+    second return is instead the packed uint32 sort key
+    ``tile << rank_bits | rank`` (invalid pairs all-ones): one single-key
+    sort operand replacing the (tile, depth) two-key pair.
     """
     offsets = jnp.cumsum(prep.tiles_touched).astype(jnp.int32)  # inclusive [P]
     num_rendered = offsets[-1] if prep.tiles_touched.size else jnp.int32(0)
@@ -154,16 +198,20 @@ def expand_pairs(
     # TPU row-gathers run at a fixed rows/second rate regardless of row
     # width, so ALL per-Gaussian values (ints bitcast to f32) ride in ONE
     # wide gather instead of one per table.
-    int_tab = jnp.stack(
-        [
-            jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-1]]),
-            prep.rect_min[:, 0],
-            prep.rect_min[:, 1],
-            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
-            prep.valid.astype(jnp.int32),
-        ],
-        axis=1,
-    )  # [P, 5]
+    int_cols = [
+        jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-1]]),
+        prep.rect_min[:, 0],
+        prep.rect_min[:, 1],
+        jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
+        prep.valid.astype(jnp.int32),
+    ]
+    if rank is not None:
+        assert sort_order in (
+            GlobalSortOrder.Z_DEPTH, GlobalSortOrder.DISTANCE,
+        ), "rank keys need a per-Gaussian depth order"
+        int_cols.append(rank)
+    ni = len(int_cols)
+    int_tab = jnp.stack(int_cols, axis=1)  # [P, ni]
 
     need_power = tile_based_culling or sort_order == GlobalSortOrder.PTD_MAX
     need_ptd = sort_order in (GlobalSortOrder.PTD_CENTER, GlobalSortOrder.PTD_MAX)
@@ -186,8 +234,8 @@ def expand_pairs(
         [jax.lax.bitcast_convert_type(int_tab, jnp.float32), f_tab], axis=1
     )
     tg = tab[g]  # the one big gather
-    ig = jax.lax.bitcast_convert_type(tg[:, :5], jnp.int32)
-    fg = tg[:, 5:]
+    ig = jax.lax.bitcast_convert_type(tg[:, :ni], jnp.int32)
+    fg = tg[:, ni:]
     base, rmin_x, rmin_y, width, gvalid = (ig[:, k] for k in range(5))
     local = i - base
     ty = rmin_y + local // width
@@ -227,6 +275,16 @@ def expand_pairs(
         )
 
     tile_id = jnp.where(valid, tile_id, INVALID_TILE_ID).astype(jnp.int32)
+    if rank is not None:
+        key = (
+            (tile_id.astype(jnp.uint32) << rank_bits)
+            | ig[:, 5].astype(jnp.uint32)
+        )
+        key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
+        return (
+            tile_id, key, g,
+            num_rendered.astype(jnp.int32), num_rendered > capacity,
+        )
     depth_key = jnp.where(valid, depth, jnp.inf).astype(jnp.float32)
     return (
         tile_id, depth_key, g,
@@ -301,6 +359,7 @@ def build_pairs_aligned(
     tile_y: int = TILE_Y,
     pad_capacity=None,
     carry_slot: bool = True,
+    rank_key: bool = False,
 ):
     """Fused pair build producing the align-padded layout in ONE sort.
 
@@ -312,14 +371,31 @@ def build_pairs_aligned(
     pre-sort per-tile histogram.
 
     Returns (PairBuffer over the padded array, AlignedSegments).
+
+    ``rank_key=True`` opts into the packed single-key sort (see depth_ranks
+    / rank_key_bits): bitwise-identical order, one fewer sort operand, at
+    the cost of two [P]-element rank sorts. Silently falls back to the
+    two-key sort for per-tile-depth orders or when (tile, rank) cannot pack
+    into 32 bits. The PairBuffer's ``depth`` is None on this path (nothing
+    downstream consumes it; the valid mask comes from the key bits).
     """
     num_tiles = grid_x * grid_y
+    rank = rank_bits = None
+    if rank_key and sort_order in (
+        GlobalSortOrder.Z_DEPTH, GlobalSortOrder.DISTANCE,
+    ):
+        rank_bits = rank_key_bits(num_tiles, prep.depth.shape[0])
+        if rank_bits is not None:
+            rank = depth_ranks(prep)
+    if rank is None:
+        rank_bits = None
     tile_id, depth_key, g, num_rendered, overflow = expand_pairs(
         prep, capacity=capacity, grid_x=grid_x, grid_y=grid_y,
         sort_order=sort_order, tile_based_culling=tile_based_culling,
         campos=campos, inverse_vp=inverse_vp,
         image_width=image_width, image_height=image_height,
         tile_x=tile_x, tile_y=tile_y,
+        rank=rank, rank_bits=rank_bits,
     )
     if tile_based_culling:
         # Per-tile culling drops individual pairs; only a pair-domain
@@ -337,13 +413,14 @@ def build_pairs_aligned(
         gauss_offsets=jnp.cumsum(prep.tiles_touched).astype(jnp.int32),
         pad_capacity=pad_capacity,
         carry_slot=carry_slot,
+        rank_bits=rank_bits,
     )
 
 
 def sort_stream_aligned(
     tile_id, depth_key, g, counts, *, num_tiles: int, align: int,
     num_rendered, overflow, gauss_offsets=None, pad_capacity=None,
-    carry_slot: bool = True,
+    carry_slot: bool = True, rank_bits=None,
 ):
     """Sort a raw pair stream into the align-padded per-tile layout.
 
@@ -381,7 +458,6 @@ def sort_stream_aligned(
     t_of_pad = jnp.clip(rank_expand(pad_off, pad_capacity), 0, num_tiles - 1)
     pad_valid = jnp.arange(pad_capacity, dtype=jnp.int32) < total_pad
     pad_tile = jnp.where(pad_valid, t_of_pad, INVALID_TILE_ID)
-    pad_depth = jnp.full((pad_capacity,), jnp.inf, jnp.float32)
     pad_gid = jnp.zeros((pad_capacity,), jnp.int32)
 
     # The pre-sort slot index rides through the sort so the payload VJP can
@@ -390,17 +466,48 @@ def sort_stream_aligned(
     # can reconstruct slots post-sort (make_segment_gather_recon), the sort
     # drops that operand (carry_slot=False): sort cost is per-operand.
     total = capacity + pad_capacity
-    operands = (
-        jnp.concatenate([tile_id, pad_tile]),
-        jnp.concatenate([depth_key, pad_depth]),
-        jnp.concatenate([g, pad_gid]),
-    )
-    if carry_slot:
-        operands = operands + (jnp.arange(total, dtype=jnp.int32),)
-        s_tile, s_depth, s_gid, s_slot = jax.lax.sort(operands, num_keys=2)
+    if rank_bits is not None:
+        # Packed single-key path: ``depth_key`` is the u32 key. Padding
+        # entries take their tile's all-ones rank (sorting to the segment
+        # end, like depth +inf); unused pool slots take the full sentinel.
+        pad_rank = jnp.uint32((1 << rank_bits) - 1)
+        pad_key = jnp.where(
+            pad_valid,
+            (t_of_pad.astype(jnp.uint32) << rank_bits) | pad_rank,
+            jnp.uint32(0xFFFFFFFF),
+        )
+        keys = (jnp.concatenate([depth_key, pad_key]),
+                jnp.concatenate([g, pad_gid]))
+        if carry_slot:
+            s_key, s_gid, s_slot = jax.lax.sort(
+                keys + (jnp.arange(total, dtype=jnp.int32),), num_keys=1
+            )
+        else:
+            s_key, s_gid = jax.lax.sort(keys, num_keys=1)
+            s_slot = None
+        tile_part = (s_key >> rank_bits).astype(jnp.int32)
+        in_grid = tile_part < num_tiles
+        s_tile = jnp.where(in_grid, tile_part, INVALID_TILE_ID)
+        pair_valid = in_grid & (
+            (s_key & pad_rank) != pad_rank
+        )
+        s_depth = None
     else:
-        s_tile, s_depth, s_gid = jax.lax.sort(operands, num_keys=2)
-        s_slot = None
+        pad_depth = jnp.full((pad_capacity,), jnp.inf, jnp.float32)
+        operands = (
+            jnp.concatenate([tile_id, pad_tile]),
+            jnp.concatenate([depth_key, pad_depth]),
+            jnp.concatenate([g, pad_gid]),
+        )
+        if carry_slot:
+            operands = operands + (jnp.arange(total, dtype=jnp.int32),)
+            s_tile, s_depth, s_gid, s_slot = jax.lax.sort(
+                operands, num_keys=2
+            )
+        else:
+            s_tile, s_depth, s_gid = jax.lax.sort(operands, num_keys=2)
+            s_slot = None
+        pair_valid = (s_tile != INVALID_TILE_ID) & jnp.isfinite(s_depth)
 
     # On pad-pool overflow some tiles miss their padding, so the aligned
     # layout assumption breaks; clamp starts in-range (memory safety) and
@@ -416,7 +523,7 @@ def sort_stream_aligned(
         tile_id=s_tile,
         depth=s_depth,
         gauss_id=s_gid,
-        valid=(s_tile != INVALID_TILE_ID) & jnp.isfinite(s_depth),
+        valid=pair_valid,
         starts=seg_starts,
         ends=(seg_starts + counts).astype(jnp.int32),
         num_rendered=num_rendered,

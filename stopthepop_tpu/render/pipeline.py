@@ -127,6 +127,7 @@ def render_tiled(
     tile_x: int = TILE_X,
     tile_y: int = TILE_Y,
     pad_capacity=None,
+    rank_key: bool = False,
     interpret: bool = False,
 ):
     """GLOBAL-mode tiled render. Returns (color, final_T, n_contrib, pairs).
@@ -159,6 +160,7 @@ def render_tiled(
         image_width=image_width,
         image_height=image_height,
         pad_capacity=pad_capacity,
+        rank_key=rank_key,
         tile_x=tile_x,
         tile_y=tile_y,
         carry_slot=not use_recon,
@@ -219,6 +221,7 @@ def render_tiled_kbuffer(
     seg_cap: int = 16384,
     carry_bf16: bool = False,
     pad_capacity=None,
+    rank_key: bool = False,
     interpret: bool = False,
 ):
     """PER_PIXEL_KBUFFER tiled render. Returns (color, final_T, n_contrib,
@@ -238,6 +241,7 @@ def render_tiled_kbuffer(
         image_width=image_width,
         image_height=image_height,
         pad_capacity=pad_capacity,
+        rank_key=rank_key,
         carry_slot=tile_based_culling or grid_x > 1024 or grid_y > 1024,
     )
     recon = (
@@ -274,6 +278,7 @@ def render_tiled_full(
     seg_full: int = 2048,
     chunk: int = 128,
     pad_capacity=None,
+    rank_key: bool = False,
     interpret: bool = False,
 ):
     """PER_PIXEL_FULL tiled render (exact per-ray sort; forward only, like
@@ -297,6 +302,7 @@ def render_tiled_full(
         image_width=image_width,
         image_height=image_height,
         pad_capacity=pad_capacity,
+        rank_key=rank_key,
         carry_slot=False,
     )
     payload = build_payload_kbuffer(prep, segs, chunk, capacity)
@@ -335,6 +341,7 @@ def render_tiled_hier(
     seg_cap: int = 16384,
     carry_bf16: bool = False,
     pad_capacity=None,
+    rank_key: bool = False,
     interpret: bool = False,
 ):
     """HIERARCHICAL tiled render. Returns (color, final_T, n_contrib,
@@ -356,6 +363,7 @@ def render_tiled_hier(
         image_width=image_width,
         image_height=image_height,
         pad_capacity=pad_capacity,
+        rank_key=rank_key,
         carry_slot=tile_based_culling or grid_x > 1024 or grid_y > 1024,
     )
     recon = (

@@ -218,3 +218,52 @@ def test_recon_gather_vjp_matches_carried_slot():
     np.testing.assert_allclose(
         np.asarray(d_c), np.asarray(d_r), rtol=1e-5, atol=1e-5
     )
+
+
+def test_rank_key_sort_bitwise_identical():
+    # The packed single-key sort (tile << rank_bits | depth_rank) must be
+    # bitwise-identical to the (tile, depth) two-key sort: the rank is a
+    # stable total order over per-Gaussian depths and the pair stream is
+    # gid-major, so ties resolve identically. Checked end to end: same
+    # sorted stream, same image, same gradients.
+    from stopthepop_tpu.render.duplicate import rank_key_bits
+
+    assert rank_key_bits(8160, 500_000) == 19
+    assert rank_key_bits(8160, 600_000) is None  # P too big for 19 bits
+    assert rank_key_bits(32640, 100_000) == 17   # 4K grid still packs
+
+    cam = make_camera(80, 64)
+    scene = random_scene(jax.random.PRNGKey(11), 220)
+    prep = _prep(scene, cam)
+    bg = jnp.array([0.05, 0.1, 0.2])
+    cap = int(count_pairs(prep)) + 16
+
+    # Stream-level identity.
+    from stopthepop_tpu.render.duplicate import build_pairs_aligned
+    gx, gy = tile_grid(80, 64)
+    pc, sc = build_pairs_aligned(
+        prep, capacity=cap, grid_x=gx, grid_y=gy, align=128, carry_slot=False
+    )
+    pr, sr = build_pairs_aligned(
+        prep, capacity=cap, grid_x=gx, grid_y=gy, align=128,
+        carry_slot=False, rank_key=True,
+    )
+    assert pr.depth is None
+    np.testing.assert_array_equal(np.asarray(pc.gauss_id), np.asarray(pr.gauss_id))
+    np.testing.assert_array_equal(np.asarray(pc.tile_id), np.asarray(pr.tile_id))
+    np.testing.assert_array_equal(np.asarray(pc.valid), np.asarray(pr.valid))
+    np.testing.assert_array_equal(np.asarray(sc.starts), np.asarray(sr.starts))
+
+    # Image + gradient identity through the full GLOBAL path.
+    def loss(prep_means, rank_key):
+        p2 = prep._replace(mean2d=prep_means)
+        img, T, n, pairs, _ = render_tiled(
+            p2, bg, image_width=80, image_height=64, capacity=cap,
+            rank_key=rank_key, interpret=True,
+        )
+        return jnp.sum(img * img), img
+
+    (l0, img0), g0 = jax.value_and_grad(loss, has_aux=True)(prep.mean2d, False)
+    (l1, img1), g1 = jax.value_and_grad(loss, has_aux=True)(prep.mean2d, True)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
