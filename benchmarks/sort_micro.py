@@ -87,8 +87,36 @@ def main():
         "tile histogram (scatter-add)": lambda i, a: jnp.zeros(
             (T,), jnp.int32).at[a[0]].add(1, mode="drop").sum()
             + vary(i, a[1]).sum() * 0,
+        # The production fwd-sort shapes, before/after the round-2 levers:
+        # 2key+2val above = carried-slot; these three = recon (9d14785),
+        # rank-key (4cd4066), and the hypothetical gid-in-table floor.
+        "sort 2key+1val (recon)": lambda i, a: jax.lax.sort(
+            (a[0], vary(i, a[1]), jnp.arange(n, dtype=jnp.int32)),
+            num_keys=2)[2].sum(),
+        "sort u32key+1val (rank)": lambda i, a: jax.lax.sort(
+            (a[5] + (i % 2).astype(jnp.uint32),
+             jnp.arange(n, dtype=jnp.int32)), num_keys=1)[1].sum(),
+        "sort u32key only": lambda i, a: jax.lax.sort(
+            (a[5] + (i % 2).astype(jnp.uint32),), num_keys=1)[0].sum()
+            .astype(jnp.float32),
+        # (i64-packed carriers were considered and dropped: without x64 the
+        # pack truncates, and TPU emulates 64-bit lanes — not a lever.)
+        # Rank production cost: two [P]-element 2-operand sorts at P=n/6.5
+        # (the 500K-Gaussian : 3.24M-pair ratio).
+        "rank sorts 2x[P]": lambda i, a: jax.lax.sort(
+            (jax.lax.sort(
+                (vary(i, a[1])[: n // 6], a[3][: n // 6].astype(jnp.int32)),
+                num_keys=1)[1],
+             jnp.arange(n // 6, dtype=jnp.int32)), num_keys=1)[1].sum(),
     }
-    packed = (tile, depth, vals, perm, table)
+    rank_bits = 19
+    ukey = (
+        (tile.astype(jnp.uint32) << rank_bits)
+        | jax.random.randint(
+            jax.random.PRNGKey(13), (n,), 0, (1 << rank_bits) - 1, jnp.int32
+        ).astype(jnp.uint32)
+    )
+    packed = (tile, depth, vals, perm, table, ukey)
     for name, fn in cases.items():
         dt = timed(fn, packed, args.iters)
         print(json.dumps({
