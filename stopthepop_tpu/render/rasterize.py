@@ -117,6 +117,7 @@ def _rasterize_impl(
     full_mode: str = "auto",
     chunk: int = 128,
     carry_bf16: bool = False,
+    rank_key: bool = False,
     tile_shape: tuple = None,
     interpret: bool = False,
     full_output: bool = False,
@@ -249,6 +250,7 @@ def _rasterize_impl(
                 sort_order=sort_order,
                 tile_based_culling=ext.culling_settings.tile_based_culling,
                 seg_full=seg_full,
+                rank_key=rank_key,
                 interpret=interpret,
             )
             overflow = pairs.overflow
@@ -266,6 +268,7 @@ def _rasterize_impl(
             inverse_vp=rs.inv_viewprojmatrix,
             chunk=chunk,
             carry_bf16=carry_bf16,
+            rank_key=rank_key,
             tile_x=tile_x,
             tile_y=tile_y,
             interpret=interpret,
@@ -286,6 +289,7 @@ def _rasterize_impl(
             tile_based_culling=ext.culling_settings.tile_based_culling,
             seg_cap=seg_cap,
             carry_bf16=carry_bf16,
+            rank_key=rank_key,
             interpret=interpret,
         )
         overflow = pairs.overflow
@@ -306,6 +310,7 @@ def _rasterize_impl(
             hier_4x4_culling=ext.culling_settings.hierarchical_4x4_culling,
             seg_cap=seg_cap,
             carry_bf16=carry_bf16,
+            rank_key=rank_key,
             interpret=interpret,
         )
         overflow = pairs.overflow
