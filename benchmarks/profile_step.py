@@ -86,7 +86,7 @@ def build_step(args):
         color, _ = render_model(
             m, cams, static=static, pair_capacity=capacity,
             tile_shape=tile_shape, carry_bf16=args.carry_bf16,
-            interpret=interpret,
+            rank_key=args.rank_key, interpret=interpret,
         )
         return rgb_loss(color, target)
 
@@ -159,6 +159,7 @@ def main():
                     choices=[m.name for m in SortMode])
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--carry-bf16", action="store_true")
+    ap.add_argument("--rank-key", action="store_true")
     ap.add_argument("--no-culling", action="store_true")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace-dir", default=None)
