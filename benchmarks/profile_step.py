@@ -70,6 +70,11 @@ def build_step(args):
 
     settings = ExtendedSettings()
     settings.sort_settings.sort_mode = SortMode[args.mode]
+    if args.queues:
+        kt, km, kh = (int(v) for v in args.queues.split(","))
+        settings.sort_settings.queue_sizes.tile_4x4 = kt
+        settings.sort_settings.queue_sizes.tile_2x2 = km
+        settings.sort_settings.queue_sizes.per_pixel = kh
     settings.culling_settings.rect_bounding = not args.no_culling
     settings.culling_settings.tight_opacity_bounding = not args.no_culling
     static = GaussianRasterizationSettings(
@@ -86,7 +91,8 @@ def build_step(args):
         color, _ = render_model(
             m, cams, static=static, pair_capacity=capacity,
             tile_shape=tile_shape, carry_bf16=args.carry_bf16,
-            rank_key=args.rank_key, interpret=interpret,
+            rank_key=args.rank_key, batched_cascade=args.batched_cascade,
+            interpret=interpret,
         )
         return rgb_loss(color, target)
 
@@ -160,6 +166,9 @@ def main():
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--carry-bf16", action="store_true")
     ap.add_argument("--rank-key", action="store_true")
+    ap.add_argument("--batched-cascade", action="store_true")
+    ap.add_argument("--queues", default=None,
+                    help="hier queue sizes 'kt,km,kh' (default 64,8,4)")
     ap.add_argument("--no-culling", action="store_true")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace-dir", default=None)

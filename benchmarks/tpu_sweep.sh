@@ -1,0 +1,55 @@
+#!/bin/bash
+# Unattended run of the on-chip measurement queue (benchmarks/TPU_QUEUE.md).
+# Each item gets its own timeout and log under $OUT; failures don't stop the
+# sweep. Intended to fire as soon as the axon tunnel returns:
+#   nohup bash benchmarks/tpu_sweep.sh > /tmp/tpu_sweep.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="${PYTHONPATH:-}:/root/repo"
+OUT=${OUT:-/root/repo/benchmarks/results_r2}
+mkdir -p "$OUT"
+
+run() {  # run <name> <timeout-s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  if [ -s "$OUT/$name.log" ] && grep -q "DONE" "$OUT/$name.log"; then
+    echo "== $name: cached, skip"; return
+  fi
+  echo "== $name: start $(date +%H:%M:%S)"
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  [ $rc -eq 0 ] && echo "DONE rc=0" >> "$OUT/$name.log"
+  echo "== $name: rc=$rc $(date +%H:%M:%S)"
+}
+
+# 0. probe (fail fast if the tunnel is down)
+timeout 120 python -c "import jax; print(jax.devices())" || {
+  echo "tunnel down, abort"; exit 1; }
+
+# 1. headline + per-config tables
+run bench 1800 python bench.py
+run run_all 5400 python benchmarks/run.py --all
+
+# 2. sort design decision data
+run sort_micro 1800 python benchmarks/sort_micro.py --n 3240000
+
+# 3. profile A/Bs on the headline step (GLOBAL train step)
+run prof_global 1200 python benchmarks/profile_step.py --top 20
+run prof_rankkey 1200 python benchmarks/profile_step.py --rank-key --top 20
+run prof_tile32 1200 python benchmarks/profile_step.py --tile 32x16 --top 20
+run prof_bf16 1200 python benchmarks/profile_step.py --carry-bf16 --top 20
+
+# 4. resort modes at config 2 (100K, 800x800): post-moment-routing numbers
+P2="--width 800 --height 800 --gaussians 100000"
+run prof_kbuf_fwd 1200 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --fwd-only --top 12
+run prof_kbuf 1800 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 12
+run prof_hier_fwd 1800 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
+run prof_hier 2400 python benchmarks/profile_step.py $P2 --mode HIER --top 12
+
+# 5. batched mid/head cascade: correctness gate, then A/B
+run verify_bcasc 2400 python benchmarks/verify_batched_cascade.py
+run prof_hierb_fwd 1800 python benchmarks/profile_step.py $P2 --mode HIER --batched-cascade --fwd-only --top 12
+run prof_hierb 2400 python benchmarks/profile_step.py $P2 --mode HIER --batched-cascade --top 12
+run prof_hierb_q16 1800 python benchmarks/profile_step.py $P2 --mode HIER --batched-cascade --queues 16,8,4 --fwd-only --top 12
+run prof_hier_q16 1800 python benchmarks/profile_step.py $P2 --mode HIER --queues 16,8,4 --fwd-only --top 12
+
+echo "SWEEP COMPLETE $(date)"

@@ -142,7 +142,8 @@ def _zero_unwritten(dpay, counts, chunk, seg_cap):
 @functools.lru_cache(maxsize=None)
 def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
                     height: int, hier_4x4_culling: bool, chunk: int,
-                    seg_cap: int, interpret: bool):
+                    seg_cap: int, interpret: bool,
+                    batched_cascade: bool = False):
     """Differentiable hierarchical blend for one static config.
 
     Same gradient surface as the k-buffer blend: payload blendable rows + bg;
@@ -156,7 +157,8 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
             payload, starts, counts, bg, cam,
             grid_x=grid_x, grid_y=grid_y, queue_sizes=queue_sizes,
             width=width, height=height, hier_4x4_culling=hier_4x4_culling,
-            chunk=chunk, interpret=interpret,
+            chunk=chunk, batched_cascade=batched_cascade,
+            interpret=interpret,
         )
 
     def blend_fwd(payload, starts, counts, bg, cam):
@@ -169,7 +171,8 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
             payload, packed, g_packed, starts, counts, bg, cam,
             grid_x=grid_x, grid_y=grid_y, queue_sizes=queue_sizes,
             width=width, height=height, hier_4x4_culling=hier_4x4_culling,
-            chunk=chunk, seg_cap=seg_cap, interpret=interpret,
+            chunk=chunk, seg_cap=seg_cap,
+            batched_cascade=batched_cascade, interpret=interpret,
         )
         dpay = _zero_unwritten(dpay, counts, chunk, seg_cap)
         d_bg = jnp.einsum("tcp,tp->c", g_packed[:, 0:3, :], packed[:, 3, :])

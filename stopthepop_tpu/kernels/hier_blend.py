@@ -252,6 +252,9 @@ def _blend_one(state, popm, a0, r0, g0, b0, d0):
 
 TAIL_PLANES = 4
 PK_STAGE = 5  # packed staging rows: key, V1, V2, V3, v_tail
+# Batched-cascade sub-batch: small enough that km + CASC_BATCH and
+# kh + CASC_BATCH stay near a power of two (the bitonic merge pads to one).
+CASC_BATCH = 8
 
 
 def _intake_packed(data, cam_ref, tx, ty, count_rem, width, height,
@@ -368,6 +371,41 @@ def _tail_round(tail, incoming, kt):
     return [m[:B] for m in merged]
 
 
+def _win_round(scr, num_f, incoming, k):
+    """Batched sort+merge window round on per-pixel field planes.
+
+    The mid/head analog of _tail_round (the tail's own batch cadence —
+    the reference moves entries through its mid queue in groups too,
+    hierarchical_render.cuh:421-536 front4OneFromMid / pushPullThroughMid):
+    ``scr`` is a VMEM ref [num_f, k, 256] held ascending by the key plane 0,
+    with -inf "bubbles" in front standing for empty slots (ghosts) and +inf
+    for drained slots. ``incoming`` is a list of num_f [B, 256] rows
+    (unsorted). Sorts the incoming descending, bitonic-merges with the hold,
+    emits the B nearest rows (ascending: ghosts first, then reals), keeps
+    the k farthest. Emission multiset matches B sequential pop-then-insert
+    _win_update steps (max(reals - k, 0) reals emitted); only the local
+    emission order differs (sorted, i.e. closer to the true resort).
+    """
+    B = incoming[0].shape[0]
+    planes_in = _bitonic_planes(incoming, B, descending=True)
+    M = _next_pow2(k + B)
+    pad_rows = M - k - B
+    merged = []
+    for f in range(num_f):
+        fill = jnp.inf if f == 0 else 0.0
+        parts = [scr[f]]
+        if pad_rows:
+            parts.append(
+                jnp.full((pad_rows, TILE_PIXELS), fill, jnp.float32)
+            )
+        parts.append(planes_in[f])
+        merged.append(jnp.concatenate(parts, axis=0))
+    merged = _bitonic_merge(merged, M)
+    for f in range(num_f):
+        scr[f] = merged[f][B:B + k]
+    return [m[:B] for m in merged]
+
+
 def _unpack_batch(emit, vmask):
     """Packed emitted batch (list of [B, 128] planes) -> 18 scalar rows of
     [B, 256] (group-replicated per sub-tile), plus the source row and the
@@ -426,6 +464,7 @@ def _fwd_kernel(
     buf, ad_scr, tail, mid, head, casc_scr, sems,  # scratch
     *, kt: int, km: int, kh: int, chunk: int, grid_x: int,
     width: int, height: int, hier_4x4_culling: bool,
+    batched_cascade: bool = False,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -435,13 +474,16 @@ def _fwd_kernel(
     ty = t // grid_x
 
     # Reset the persistent window scratch for this tile. The tail hold
-    # starts as -inf "bubbles" (see _tail_round).
+    # starts as -inf "bubbles" (see _tail_round); in batched-cascade mode
+    # the mid/head holds use the same bubble convention (ghosts flow
+    # through the cascade with alpha 0 instead of being fill-counted).
     tail[...] = jnp.zeros((TAIL_PLANES, kt, 128))
     tail[0] = jnp.full((kt, 128), -jnp.inf)
+    mhinit = -jnp.inf if batched_cascade else jnp.inf
     mid[...] = jnp.zeros((MID_F, km, TILE_PIXELS))
-    mid[0] = jnp.full((km, TILE_PIXELS), jnp.inf)
+    mid[0] = jnp.full((km, TILE_PIXELS), mhinit)
     head[...] = jnp.zeros((HEAD_F, kh, TILE_PIXELS))
-    head[0] = jnp.full((kh, TILE_PIXELS), jnp.inf)
+    head[0] = jnp.full((kh, TILE_PIXELS), mhinit)
 
     # Per-pixel constants for the pop-time recompute (pixels on lanes).
     plx, ply = _tile_pixels_lanes(tx, ty)
@@ -481,6 +523,30 @@ def _fwd_kernel(
         fm = fm + pop_t.astype(jnp.int32) - pop_m.astype(jnp.int32)
         return state, fm, fh
 
+    def _cascade_rounds(state, mid_in):
+        """One batched mid round + head round + ordered blends.
+
+        mid_in: [key_m(d_mid; ±inf for ghosts/drains), d_head, a, r, g, b]
+        rows of [CASC_BATCH, 256]. Ghosts (-inf) flow nearest-first with
+        alpha 0; drain pads (+inf) displace the holds.
+        """
+        emit_m = _win_round(mid, MID_F, mid_in, km)
+        # Re-key at head granularity; ghosts/pads keep their ±inf key.
+        key_h = jnp.where(jnp.isfinite(emit_m[0]), emit_m[1], emit_m[0])
+        emit_h = _win_round(
+            head, HEAD_F, [key_h, emit_m[2], emit_m[3], emit_m[4],
+                           emit_m[5]], kh,
+        )
+        true_m = jnp.ones((1, TILE_PIXELS), bool)
+        for j in range(CASC_BATCH):
+            d0 = emit_h[0][j:j + 1]
+            state, _, _ = _blend_one(
+                state, true_m, emit_h[1][j:j + 1], emit_h[2][j:j + 1],
+                emit_h[3][j:j + 1], emit_h[4][j:j + 1],
+                jnp.where(jnp.isfinite(d0), d0, 0.0),
+            )
+        return state
+
     def _ray_depth_rows(sc, vd):
         """Same formula (and operation order) as _ray_depth, on [1, 256]
         group-replicated scalar rows — bit-identical results."""
@@ -511,8 +577,24 @@ def _fwd_kernel(
         dyp = sc[1] - ply
         factor = 0.5 * (sc[2] * dxp * dxp + sc[4] * dyp * dyp) + sc[3] * dxp * dyp
         alpha = jnp.minimum(ALPHA_MAX, sc[5] * jnp.exp(-factor))
+        # v_wide folds in so ghost entries carry alpha 0 — per-entry mode
+        # never blends them anyway; batched mode lets them FLOW through the
+        # cascade, where alpha 0 makes every blend a no-op.
         ok = (factor >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (d_head >= 0.0)
-        a_eff = jnp.where(ok, alpha, 0.0)
+        a_eff = jnp.where(ok & v_wide, alpha, 0.0)
+
+        if batched_cascade:
+            state, fm, fh = carry
+            key_m = jnp.where(v_wide, d_mid, -jnp.inf)
+            for sb in range(TAIL_BATCH // CASC_BATCH):
+                sl = slice(sb * CASC_BATCH, (sb + 1) * CASC_BATCH)
+                state = _cascade_rounds(
+                    state,
+                    [key_m[sl], d_head[sl], a_eff[sl],
+                     sc[6][sl], sc[7][sl], sc[8][sl]],
+                )
+            return state, fm, fh
+
         casc_scr[0] = v_wide.astype(jnp.float32)
         casc_scr[1] = d_mid
         casc_scr[2] = d_head
@@ -588,37 +670,59 @@ def _fwd_kernel(
     for _ in range(-(-kt // TAIL_BATCH)):
         state, fm, fh = tail_and_cascade(drain_in, (state, fm, fh))
 
-    def drain_mid(_, carry):
-        state, fm, fh = carry
-        pop_m = fm > 0
-        e_m = _win_update(
-            mid, MID_F, pop_m, jnp.zeros((1, TILE_PIXELS), bool), inf_new_m
+    if batched_cascade:
+        # Mid drain: +inf keyed sub-batches displace the whole mid hold
+        # through the head; then blend the head hold in place (ascending:
+        # -inf bubbles and +inf pads carry alpha 0).
+        drain_m = (
+            [jnp.full((CASC_BATCH, TILE_PIXELS), jnp.inf, jnp.float32)]
+            + [jnp.zeros((CASC_BATCH, TILE_PIXELS), jnp.float32)]
+            * (MID_F - 1)
         )
-        state, fh = push_head(state, fh, pop_m, e_m)
-        fm = fm - pop_m.astype(jnp.int32)
-        return state, fm, fh
-
-    state, fm, fh = jax.lax.fori_loop(0, km, drain_mid, (state, fm, fh))
-
-    def drain_head(_, carry):
-        state, fh = carry
-        pop_h = fh > 0
-        e_h = [head[f, 0:1, :] for f in range(HEAD_F)]
-        state, _, _ = _blend_one(
-            state, pop_h, e_h[1], e_h[2], e_h[3], e_h[4], e_h[0]
-        )
-        for f in range(HEAD_F):
-            x = head[f]
-            pad = jnp.inf if f == 0 else 0.0
-            head[f] = jnp.where(
-                pop_h,
-                jnp.concatenate([x[1:], jnp.full_like(x[:1], pad)], axis=0),
-                x,
+        for _ in range(-(-km // CASC_BATCH)):
+            state = _cascade_rounds(state, drain_m)
+        true_m = jnp.ones((1, TILE_PIXELS), bool)
+        for j in range(kh):
+            e_h = [head[f, j:j + 1, :] for f in range(HEAD_F)]
+            state, _, _ = _blend_one(
+                state, true_m, e_h[1], e_h[2], e_h[3], e_h[4],
+                jnp.where(jnp.isfinite(e_h[0]), e_h[0], 0.0),
             )
-        fh = fh - pop_h.astype(jnp.int32)
-        return state, fh
+    else:
+        def drain_mid(_, carry):
+            state, fm, fh = carry
+            pop_m = fm > 0
+            e_m = _win_update(
+                mid, MID_F, pop_m, jnp.zeros((1, TILE_PIXELS), bool),
+                inf_new_m
+            )
+            state, fh = push_head(state, fh, pop_m, e_m)
+            fm = fm - pop_m.astype(jnp.int32)
+            return state, fm, fh
 
-    state, fh = jax.lax.fori_loop(0, kh, drain_head, (state, fh))
+        state, fm, fh = jax.lax.fori_loop(0, km, drain_mid, (state, fm, fh))
+
+        def drain_head(_, carry):
+            state, fh = carry
+            pop_h = fh > 0
+            e_h = [head[f, 0:1, :] for f in range(HEAD_F)]
+            state, _, _ = _blend_one(
+                state, pop_h, e_h[1], e_h[2], e_h[3], e_h[4], e_h[0]
+            )
+            for f in range(HEAD_F):
+                x = head[f]
+                pad = jnp.inf if f == 0 else 0.0
+                head[f] = jnp.where(
+                    pop_h,
+                    jnp.concatenate(
+                        [x[1:], jnp.full_like(x[:1], pad)], axis=0
+                    ),
+                    x,
+                )
+            fh = fh - pop_h.astype(jnp.int32)
+            return state, fh
+
+        state, fh = jax.lax.fori_loop(0, kh, drain_head, (state, fh))
 
     T, Cr, Cg, Cb, nc, done, D = state
     out_ref[0] = jnp.concatenate(
@@ -649,6 +753,7 @@ def blend_hier_forward(
     height: int,
     hier_4x4_culling: bool = False,
     chunk: int = 128,
+    batched_cascade: bool = False,
     interpret: bool = False,
 ):
     """Run the hierarchical forward blend. Returns packed [T, 8, 256]."""
@@ -657,6 +762,7 @@ def blend_hier_forward(
     kernel = functools.partial(
         _fwd_kernel, kt=kt, km=km, kh=kh, chunk=chunk, grid_x=grid_x,
         width=width, height=height, hier_4x4_culling=hier_4x4_culling,
+        batched_cascade=batched_cascade,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -725,6 +831,7 @@ def _bwd_kernel(
     buf, ad_scr, tail, mid, head, casc_scr, stale_scr, dseg, sems, wsem,
     *, kt: int, km: int, kh: int, chunk: int, seg_cap: int, grid_x: int,
     width: int, height: int, hier_4x4_culling: bool,
+    batched_cascade: bool = False,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -764,10 +871,11 @@ def _bwd_kernel(
 
     tail[...] = jnp.zeros((TAIL_PLANES, kt, 128))
     tail[0] = jnp.full((kt, 128), -jnp.inf)  # bubbles (see _tail_round)
+    mhinit = -jnp.inf if batched_cascade else jnp.inf
     mid[...] = jnp.zeros((MID_B, km, TILE_PIXELS))
-    mid[0] = jnp.full((km, TILE_PIXELS), jnp.inf)
+    mid[0] = jnp.full((km, TILE_PIXELS), mhinit)
     head[...] = jnp.zeros((HEAD_B, kh, TILE_PIXELS))
-    head[0] = jnp.full((kh, TILE_PIXELS), jnp.inf)
+    head[0] = jnp.full((kh, TILE_PIXELS), mhinit)
     dseg[...] = jnp.zeros((GRAD_ROWS, seg_cap), jnp.float32)
     # Invalidate the stale stage's source row: slots past the stream chunk
     # are only written during drains, and the per-chunk stale pass scans all
@@ -841,7 +949,9 @@ def _bwd_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        stale = commit & (src >= 0) & (src < lo)
+        # a0 > 0 skips zero-moment staging (ghost/bubble rows in batched
+        # cascade mode have alpha 0 and a meaningless src).
+        stale = commit & (src >= 0) & (src < lo) & (a0 > 0.0)
         stale_scr[:, pl.ds(slot, 1), :] = jnp.stack(
             [s1, w, jnp.where(stale, src, -1).astype(jnp.float32)], axis=0
         )
@@ -916,6 +1026,26 @@ def _bwd_kernel(
         fm = fm + pop_t.astype(jnp.int32) - pop_m.astype(jnp.int32)
         return state, fm, fh, rst
 
+    true_m = jnp.ones((1, TILE_PIXELS), bool)
+
+    def _cascade_rounds_b(carry, mid_in, slot0, base):
+        """Batched mid round + head round + ordered gradient blends (the
+        backward mirror of the forward's _cascade_rounds; see _win_round).
+
+        mid_in: [key_m, d_head, a, c.g, src] rows of [CASC_BATCH, 256].
+        """
+        state, rst = carry
+        emit_m = _win_round(mid, MID_B, mid_in, km)
+        key_h = jnp.where(jnp.isfinite(emit_m[0]), emit_m[1], emit_m[0])
+        emit_h = _win_round(
+            head, HEAD_B, [key_h, emit_m[2], emit_m[3], emit_m[4]], kh,
+        )
+        for j in range(CASC_BATCH):
+            e_h = [emit_h[f][j:j + 1] for f in range(HEAD_B)]
+            state, rst = blend_grads(state, true_m, e_h, rst, slot0 + j,
+                                     base)
+        return state, rst
+
     def _ray_depth_rows(sc, vd):
         """Same formula (and operation order) as _ray_depth, on [1, 256]
         group-replicated scalar rows — bit-identical results."""
@@ -944,8 +1074,25 @@ def _bwd_kernel(
         factor = 0.5 * (sc[2] * dxp * dxp + sc[4] * dyp * dyp) + sc[3] * dxp * dyp
         alpha = jnp.minimum(ALPHA_MAX, sc[5] * jnp.exp(-factor))
         ok = (factor >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (d_head >= 0.0)
-        a_eff = jnp.where(ok, alpha, 0.0)
+        a_eff = jnp.where(ok & v_wide, alpha, 0.0)
         cg = sc[6] * g_r + sc[7] * g_g + sc[8] * g_b
+
+        if batched_cascade:
+            state, fm, fh, rst = carry
+            cg = jnp.where(v_wide, cg, 0.0)
+            srcz = jnp.where(v_wide, src_row, -1.0)
+            key_m = jnp.where(v_wide, d_mid, -jnp.inf)
+            c2 = (state, rst)
+            for sb in range(TAIL_BATCH // CASC_BATCH):
+                sl = slice(sb * CASC_BATCH, (sb + 1) * CASC_BATCH)
+                c2 = _cascade_rounds_b(
+                    c2,
+                    [key_m[sl], d_head[sl], a_eff[sl], cg[sl], srcz[sl]],
+                    slot_base + sb * CASC_BATCH, base,
+                )
+            state, rst = c2
+            return state, fm, fh, rst
+
         casc_scr[0] = v_wide.astype(jnp.float32)
         casc_scr[1] = d_mid
         casc_scr[2] = d_head
@@ -1051,39 +1198,60 @@ def _bwd_kernel(
     state, fm, fh, rst_d = c
     drain_slot0 = n_tail_drains * TAIL_BATCH
 
-    def drain_mid(i, carry):
-        state, fm, fh, rst = carry
-        pop_m = fm > 0
-        e_m = _win_update(mid, MID_B, pop_m, nomask, inf_new_m)
-        state, fh, rst = push_head(state, fh, pop_m, e_m, rst,
-                                   drain_slot0 + i, base_d)
-        fm = fm - pop_m.astype(jnp.int32)
-        return state, fm, fh, rst
-
-    state, fm, fh, rst_d = jax.lax.fori_loop(
-        0, km, drain_mid, (state, fm, fh, rst_d)
-    )
-
-    def drain_head(i, carry):
-        state, fh, rst = carry
-        pop_h = fh > 0
-        e_h = [head[f, 0:1, :] for f in range(HEAD_B)]
-        state, rst = blend_grads(state, pop_h, e_h, rst,
-                                 drain_slot0 + km + i, base_d)
-        for f in range(HEAD_B):
-            x = head[f]
-            pad = jnp.inf if f == 0 else 0.0
-            head[f] = jnp.where(
-                pop_h,
-                jnp.concatenate([x[1:], jnp.full_like(x[:1], pad)], axis=0),
-                x,
+    if batched_cascade:
+        drain_m_b = (
+            [jnp.full((CASC_BATCH, TILE_PIXELS), jnp.inf, jnp.float32)]
+            + [jnp.zeros((CASC_BATCH, TILE_PIXELS), jnp.float32)]
+            * (MID_B - 1)
+        )
+        n_mid_drains = -(-km // CASC_BATCH)
+        c2 = (state, rst_d)
+        for r in range(n_mid_drains):
+            c2 = _cascade_rounds_b(
+                c2, drain_m_b, drain_slot0 + r * CASC_BATCH, base_d
             )
-        fh = fh - pop_h.astype(jnp.int32)
-        return state, fh, rst
+        state, rst_d = c2
+        hd_slot0 = drain_slot0 + n_mid_drains * CASC_BATCH
+        for j in range(kh):
+            e_h = [head[f, j:j + 1, :] for f in range(HEAD_B)]
+            state, rst_d = blend_grads(state, true_m, e_h, rst_d,
+                                       hd_slot0 + j, base_d)
+    else:
+        def drain_mid(i, carry):
+            state, fm, fh, rst = carry
+            pop_m = fm > 0
+            e_m = _win_update(mid, MID_B, pop_m, nomask, inf_new_m)
+            state, fh, rst = push_head(state, fh, pop_m, e_m, rst,
+                                       drain_slot0 + i, base_d)
+            fm = fm - pop_m.astype(jnp.int32)
+            return state, fm, fh, rst
 
-    state, fh, rst_d = jax.lax.fori_loop(
-        0, kh, drain_head, (state, fh, rst_d)
-    )
+        state, fm, fh, rst_d = jax.lax.fori_loop(
+            0, km, drain_mid, (state, fm, fh, rst_d)
+        )
+
+        def drain_head(i, carry):
+            state, fh, rst = carry
+            pop_h = fh > 0
+            e_h = [head[f, 0:1, :] for f in range(HEAD_B)]
+            state, rst = blend_grads(state, pop_h, e_h, rst,
+                                     drain_slot0 + km + i, base_d)
+            for f in range(HEAD_B):
+                x = head[f]
+                pad = jnp.inf if f == 0 else 0.0
+                head[f] = jnp.where(
+                    pop_h,
+                    jnp.concatenate(
+                        [x[1:], jnp.full_like(x[:1], pad)], axis=0
+                    ),
+                    x,
+                )
+            fh = fh - pop_h.astype(jnp.int32)
+            return state, fh, rst
+
+        state, fh, rst_d = jax.lax.fori_loop(
+            0, kh, drain_head, (state, fh, rst_d)
+        )
     flush_acc(rst_d[0], base_d)
     stale_pass(rst_d[1])
 
@@ -1138,6 +1306,7 @@ def blend_hier_backward(
     hier_4x4_culling: bool = False,
     chunk: int = 128,
     seg_cap: int = 16384,
+    batched_cascade: bool = False,
     interpret: bool = False,
 ):
     """Returns d_payload [32, C_pad] (rows 0..8 of written segments)."""
@@ -1146,8 +1315,9 @@ def blend_hier_backward(
     kernel = functools.partial(
         _bwd_kernel, kt=kt, km=km, kh=kh, chunk=chunk, seg_cap=seg_cap,
         grid_x=grid_x, width=width, height=height,
-        hier_4x4_culling=hier_4x4_culling,
+        hier_4x4_culling=hier_4x4_culling, batched_cascade=batched_cascade,
     )
+    km_drain = -(-km // CASC_BATCH) * CASC_BATCH if batched_cascade else km
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(num_tiles,),
@@ -1171,7 +1341,9 @@ def blend_hier_backward(
             pltpu.VMEM((HEAD_B, kh, TILE_PIXELS), jnp.float32),
             pltpu.VMEM((6, TAIL_BATCH, TILE_PIXELS), jnp.float32),
             pltpu.VMEM(
-                (3, max(chunk, -(-kt // TAIL_BATCH) * TAIL_BATCH + km + kh),
+                (3,
+                 max(chunk,
+                     -(-kt // TAIL_BATCH) * TAIL_BATCH + km_drain + kh),
                  TILE_PIXELS),
                 jnp.float32,
             ),  # stale stage: s1, w, src

@@ -609,7 +609,7 @@ def quad_center(pix):
     jax.jit,
     static_argnames=(
         "width", "height", "queue_sizes", "sort_order", "tile_based_culling",
-        "hier_4x4_culling",
+        "hier_4x4_culling", "batched_cascade",
     ),
 )
 def render_hierarchical_naive(
@@ -623,8 +623,16 @@ def render_hierarchical_naive(
     sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
     tile_based_culling: bool = False,
     hier_4x4_culling: bool = False,
+    batched_cascade: bool = False,
 ):
-    """HIERARCHICAL oracle. Returns (color [3,H,W], final_T, n_contrib)."""
+    """HIERARCHICAL oracle. Returns (color [3,H,W], final_T, n_contrib).
+
+    ``batched_cascade`` mirrors the kernel's batched mid/head cadence
+    (hier_blend._win_round): entries move through mid and head in sorted
+    sub-batches of CASC_BATCH with ghost flow-through, instead of one
+    pop-then-insert step per entry. Same emission multisets per window;
+    locally sorted emission order.
+    """
     kt, km, kh = queue_sizes
     P = prep.mean2d.shape[0]
     N = width * height
@@ -752,6 +760,107 @@ def render_hierarchical_naive(
     hold0 = {"key": jnp.full((kt, N), -jnp.inf)}
     hold0.update({f: jnp.zeros((kt, N)) for f in ("dm", "dh", "a", "r", "g",
                                                   "b")})
+
+    if batched_cascade:
+        from ..kernels.hier_blend import CASC_BATCH as Bc
+
+        mid0b = {"key": jnp.full((km, N), -jnp.inf)}
+        mid0b.update({f: jnp.zeros((km, N)) for f in ("dh", "a", "r", "g",
+                                                      "b")})
+        head0b = {"key": jnp.full((kh, N), -jnp.inf)}
+        head0b.update({f: jnp.zeros((kh, N)) for f in ("a", "r", "g", "b")})
+        ptrue = jnp.ones((N,), bool)
+
+        def win_round_b(hold, batch):
+            cat = {f: jnp.concatenate([hold[f], batch[f]], axis=0)
+                   for f in hold}
+            o = jnp.argsort(cat["key"], axis=0, stable=True)
+            srt = {f: jnp.take_along_axis(cat[f], o, axis=0) for f in cat}
+            nb = batch["key"].shape[0]
+            return ({f: v[:nb] for f, v in srt.items()},
+                    {f: v[nb:] for f, v in srt.items()})
+
+        def mid_round_blend(carry, mbatch):
+            mid, head, T, C, nc, done = carry
+            emit_m, mid = win_round_b(mid, mbatch)
+            key_h = jnp.where(
+                jnp.isfinite(emit_m["key"]), emit_m["dh"], emit_m["key"]
+            )
+            emit_h, head = win_round_b(
+                head,
+                {"key": key_h, "a": emit_m["a"], "r": emit_m["r"],
+                 "g": emit_m["g"], "b": emit_m["b"]},
+            )
+
+            def bl(c, row):
+                T, C, nc, done = c
+                return _blend_one(
+                    T, C, nc, done, ptrue, row["a"], row["r"], row["g"],
+                    row["b"],
+                ), None
+
+            (T, C, nc, done), _ = jax.lax.scan(
+                bl, (T, C, nc, done), emit_h
+            )
+            return mid, head, T, C, nc, done
+
+        def tail_batch_b(state, batch):
+            hold, mid, head, T, C, nc, done = state
+            cat = {f: jnp.concatenate([hold[f], batch[f]], axis=0)
+                   for f in hold}
+            o = jnp.argsort(cat["key"], axis=0, stable=True)
+            srt = {f: jnp.take_along_axis(cat[f], o, axis=0) for f in cat}
+            emit = {f: v[:B] for f, v in srt.items()}
+            hold = {f: v[B:] for f, v in srt.items()}
+            v = jnp.isfinite(emit["key"])
+            key_m = jnp.where(v, emit["dm"], -jnp.inf)
+            a_z = jnp.where(v, emit["a"], 0.0)
+            carry = (mid, head, T, C, nc, done)
+            for sb in range(B // Bc):
+                sl = slice(sb * Bc, (sb + 1) * Bc)
+                carry = mid_round_blend(
+                    carry,
+                    {"key": key_m[sl], "dh": emit["dh"][sl], "a": a_z[sl],
+                     "r": emit["r"][sl], "g": emit["g"][sl],
+                     "b": emit["b"][sl]},
+                )
+            mid, head, T, C, nc, done = carry
+            return (hold, mid, head, T, C, nc, done), None
+
+        state = (
+            hold0, mid0b, head0b,
+            jnp.ones((N,), jnp.float32), jnp.zeros((N, 3), jnp.float32),
+            jnp.zeros((N,), jnp.int32), jnp.zeros((N,), bool),
+        )
+        state, _ = jax.lax.scan(tail_batch_b, state, batched)
+
+        drain_in = {"key": jnp.full((B, N), jnp.inf)}
+        drain_in.update({f: jnp.zeros((B, N)) for f in ("dm", "dh", "a",
+                                                        "r", "g", "b")})
+        for _ in range(-(-kt // B)):
+            state, _ = tail_batch_b(state, drain_in)
+        _, mid, head, T, C, nc, done = state
+
+        drain_m = {"key": jnp.full((Bc, N), jnp.inf)}
+        drain_m.update({f: jnp.zeros((Bc, N)) for f in ("dh", "a", "r",
+                                                        "g", "b")})
+        carry = (mid, head, T, C, nc, done)
+        for _ in range(-(-km // Bc)):
+            carry = mid_round_blend(carry, drain_m)
+        mid, head, T, C, nc, done = carry
+
+        def bl_hold(c, row):
+            T, C, nc, done = c
+            return _blend_one(
+                T, C, nc, done, ptrue, row["a"], row["r"], row["g"],
+                row["b"],
+            ), None
+
+        (T, C, nc, done), _ = jax.lax.scan(
+            bl_hold, (T, C, nc, done),
+            {f: head[f] for f in ("a", "r", "g", "b")},
+        )
+        return _finalize(C, T, bg, width, height), T, nc
 
     def cascade_entry(carry, e):
         mid, head, fm, fh, T, C, nc, done = carry

@@ -342,6 +342,7 @@ def render_tiled_hier(
     carry_bf16: bool = False,
     pad_capacity=None,
     rank_key: bool = False,
+    batched_cascade: bool = False,
     interpret: bool = False,
 ):
     """HIERARCHICAL tiled render. Returns (color, final_T, n_contrib,
@@ -378,6 +379,7 @@ def render_tiled_hier(
     blend = make_blend_hier(
         grid_x, grid_y, tuple(queue_sizes), image_width, image_height,
         hier_4x4_culling, chunk, seg_cap, interpret,
+        batched_cascade=batched_cascade,
     )
     packed = blend(payload, segs.starts, segs.counts, bg, cam)
     color, final_t, n_contrib, depth_acc = unpack_image(

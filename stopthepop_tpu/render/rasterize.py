@@ -118,6 +118,7 @@ def _rasterize_impl(
     chunk: int = 128,
     carry_bf16: bool = False,
     rank_key: bool = False,
+    batched_cascade: bool = False,
     tile_shape: tuple = None,
     interpret: bool = False,
     full_output: bool = False,
@@ -311,6 +312,7 @@ def _rasterize_impl(
             seg_cap=seg_cap,
             carry_bf16=carry_bf16,
             rank_key=rank_key,
+            batched_cascade=batched_cascade,
             interpret=interpret,
         )
         overflow = pairs.overflow

@@ -269,3 +269,32 @@ def test_hier_default_queues_grads_match_oracle():
             b, a, atol=3e-4 * scale, rtol=3e-3,
             err_msg=f"hier default-queue gradient mismatch for {name}",
         )
+
+
+@pytest.mark.slow
+def test_hier_batched_cascade_oracle_matches_sequential():
+    """The batched mid/head cascade (hier_blend._win_round cadence) must
+    blend the same entry multisets as the per-entry cascade: oracle vs
+    oracle, eager (the batched graph is too large for XLA-CPU jit).
+
+    The Pallas kernel's batched path is gated on-chip by
+    benchmarks/verify_batched_cascade.py (its interpret-mode compile is
+    pathological on CPU).
+    """
+    w = h = 32
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(8), 60)
+    prep = _prep(scene, cam)
+    bg = jnp.array([0.15, 0.05, 0.3])
+    with jax.disable_jit():
+        img_b, T_b, _ = render_hierarchical_naive(
+            prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
+            queue_sizes=(16, 8, 4), batched_cascade=True,
+        )
+        img_s, T_s, _ = render_hierarchical_naive(
+            prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
+            queue_sizes=(16, 8, 4), batched_cascade=False,
+        )
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_s),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(T_b), np.asarray(T_s), atol=2e-6)
