@@ -15,6 +15,7 @@ host/tunnel dispatch latency is excluded.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -32,6 +33,14 @@ NOMINAL_BASELINE_MPIX_S = 60.0
 def main():
     width, height = 1920, 1080
     num_gaussians = 500_000
+    # Opt-in A/B knobs for the measurement sweep (benchmarks/tpu_sweep.sh);
+    # defaults match the recorded headline configuration.
+    tile_env = os.environ.get("STP_BENCH_TILE", "")
+    tile_shape = (
+        tuple(int(v) for v in tile_env.split("x")) if tile_env else None
+    )
+    carry_bf16 = os.environ.get("STP_BENCH_BF16", "") == "1"
+    rank_key = os.environ.get("STP_BENCH_RANKKEY", "") == "1"
     # The paper's tighter culling (rect + tight-opacity bounding) cuts
     # this scene's pairs 1.75M -> 1.28M; the static capacity is sized for
     # the culled stream plus headroom. (Tile-based culling would drop a
@@ -69,6 +78,7 @@ def main():
     from stopthepop_tpu.render.pipeline import tile_grid
     from stopthepop_tpu.render.preprocess import preprocess
 
+    tx, ty = tile_shape if tile_shape else (16, 16)
     prep = preprocess(
         model.means3d, model.opacities(), scales=model.scales(),
         rotations=model.rotations_normalized(), shs=model.shs(),
@@ -76,15 +86,23 @@ def main():
         campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
         image_width=width, image_height=height, sh_degree=0,
         rect_bounding=True, tight_opacity_bounding=True,
+        tile_x=tx, tile_y=ty,
     )
-    gx, gy = tile_grid(width, height)
+    gx, gy = tile_grid(width, height, tx, ty)
     counts = rect_histogram(prep, gx, gy)
     pad_pool = (int(jnp.sum((-counts) % 128)) + 128 * 16 + 127) // 128 * 128
+    if tile_shape is not None:
+        # Non-default binning tile changes the pair stream; size capacity
+        # to the measured stream (same probe the trainer CLI uses).
+        capacity = (
+            int(int(jnp.sum(prep.tiles_touched)) * 1.08) + 127
+        ) // 128 * 128
 
     def loss_fn(model):
         color, _ = render_model(
             model, cam_arrays, static=static,
             pair_capacity=capacity, pad_capacity=pad_pool,
+            tile_shape=tile_shape, carry_bf16=carry_bf16, rank_key=rank_key,
             interpret=interpret,
         )
         return rgb_loss(color, target)

@@ -29,6 +29,12 @@ timeout 120 python -c "import jax; print(jax.devices())" || {
 run bench 1800 python bench.py
 run run_all 5400 python benchmarks/run.py --all
 
+# 1b. headline A/Bs (landed-but-unmeasured levers, individually + combined)
+run bench_tile32 1800 env STP_BENCH_TILE=32x16 python bench.py
+run bench_bf16 1800 env STP_BENCH_BF16=1 python bench.py
+run bench_rankkey 1800 env STP_BENCH_RANKKEY=1 python bench.py
+run bench_combo 1800 env STP_BENCH_TILE=32x16 STP_BENCH_BF16=1 STP_BENCH_RANKKEY=1 python bench.py
+
 # 2. sort design decision data
 run sort_micro 1800 python benchmarks/sort_micro.py --n 3240000
 
