@@ -38,6 +38,9 @@ run bench_combo 1800 env STP_BENCH_TILE=32x16 STP_BENCH_BF16=1 STP_BENCH_RANKKEY
 # 2. sort design decision data
 run sort_micro 1800 python benchmarks/sort_micro.py --n 3240000
 
+# 2b. quality ladder at config-2 scale (VERDICT #4: sort-error report)
+run quality 3600 python benchmarks/quality.py
+
 # 3. profile A/Bs on the headline step (GLOBAL train step)
 run prof_global 1200 python benchmarks/profile_step.py --top 20
 run prof_rankkey 1200 python benchmarks/profile_step.py --rank-key --top 20
