@@ -22,6 +22,7 @@ from .render.rasterize import (  # noqa: F401
     GaussianRasterizer,
     RenderOutput,
     rasterize_gaussians,
+    suggest_capacities,
 )
 from .ops.transforms import mark_visible  # noqa: F401
 

@@ -56,6 +56,73 @@ def default_pair_capacity(num_gaussians: int) -> int:
     return PAIR_CAPACITY_FACTOR * max(num_gaussians, 1)
 
 
+def suggest_capacities(
+    means3D,
+    opacities,
+    raster_settings: GaussianRasterizationSettings,
+    *,
+    scales=None,
+    rotations=None,
+    cov3Ds_precomp=None,
+    headroom: float = 1.1,
+    tile_shape: tuple = None,
+):
+    """Probe a scene once and suggest the three static sizing knobs.
+
+    The reference sizes its buffers dynamically after a device scan
+    (rasterizer_impl.cu:316-321); under jit the shapes are static, so users
+    pick ``pair_capacity`` up front. This helper renders nothing — it runs
+    the (cheap, P-domain) preprocess for the given camera/settings and
+    measures the actual pair stream, returning 128-aligned
+
+        (pair_capacity, pad_capacity, seg_cap)
+
+    to pass to ``rasterize_gaussians`` / ``GaussianRasterizer``:
+    the pair stream bound (with ``headroom``), the exact shared
+    alignment-padding pool, and the worst single-tile pair count (the bound
+    resort-mode backwards truncate per-tile gradients at). Undersizing is
+    still *detected* at render time (``overflow`` / ``grad_overflow`` in the
+    full output); this is the sizing aid. For a moving scene (training),
+    probe a few representative cameras and take the max — or use the
+    trainer CLI, which does."""
+    from .duplicate import rect_histogram
+    from .pipeline import tile_grid
+    from .preprocess import preprocess
+
+    rs = raster_settings
+    ext = rs.settings
+    tx, ty = tile_shape if tile_shape is not None else (16, 16)
+    prep = preprocess(
+        means3D, opacities, scales=scales, rotations=rotations,
+        cov3d_precomp=cov3Ds_precomp,
+        # Sizing depends on geometry only; a dummy color skips SH eval.
+        colors_precomp=jnp.ones((means3D.shape[0], 3), jnp.float32),
+        scale_modifier=rs.scale_modifier,
+        viewmatrix=rs.viewmatrix, projmatrix=rs.projmatrix,
+        campos=rs.campos, tanfovx=rs.tanfovx, tanfovy=rs.tanfovy,
+        image_width=int(rs.image_width), image_height=int(rs.image_height),
+        sh_degree=0,
+        sort_order=GlobalSortOrder(ext.sort_settings.sort_order),
+        rect_bounding=ext.culling_settings.rect_bounding,
+        tight_opacity_bounding=ext.culling_settings.tight_opacity_bounding,
+        proper_ewa_scaling=ext.proper_ewa_scaling,
+        tile_x=tx, tile_y=ty,
+    )
+    gx, gy = tile_grid(int(rs.image_width), int(rs.image_height), tx, ty)
+    counts = rect_histogram(prep, gx, gy)
+
+    def _al(v):
+        return (int(v) + 127) // 128 * 128
+
+    pair_capacity = _al(max(int(jnp.sum(prep.tiles_touched)) * headroom,
+                            128))
+    # Exact pad need for THIS stream + one chunk per 16 tiles of slack for
+    # headroom-added pairs.
+    pad_capacity = _al(int(jnp.sum((-counts) % 128)) + 128 * (gx * gy // 16 + 1))
+    seg_cap = _al(max(int(jnp.max(counts)) * headroom, 2048))
+    return pair_capacity, pad_capacity, seg_cap
+
+
 def rasterize_gaussians(
     means3D,
     means2D,

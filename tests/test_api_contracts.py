@@ -82,3 +82,48 @@ def test_seg_cap_global_mode_never_flags():
     out = _render(scene, rs, full_output=True, seg_cap=128)
     # GLOBAL backward has no seg_cap truncation.
     assert not bool(out.grad_overflow)
+
+
+def test_suggest_capacities_sizes_a_clean_render():
+    """The public sizing probe: capacities it suggests must render the
+    scene without pair/pad/seg overflow, and be materially tighter than
+    the 16*P default."""
+    import jax
+    import jax.numpy as jnp
+
+    from stopthepop_tpu import suggest_capacities
+    from stopthepop_tpu.config import (
+        ExtendedSettings, GaussianRasterizationSettings,
+    )
+    from stopthepop_tpu.render.rasterize import (
+        default_pair_capacity, rasterize_gaussians,
+    )
+    from stopthepop_tpu.utils.testing import make_camera, random_scene
+
+    cam = make_camera(64, 64)
+    scene = random_scene(jax.random.PRNGKey(5), 80)
+    ext = ExtendedSettings()
+    ext.culling_settings.rect_bounding = True
+    ext.culling_settings.tight_opacity_bounding = True
+    rs = GaussianRasterizationSettings(
+        image_height=64, image_width=64, tanfovx=cam.tanfovx,
+        tanfovy=cam.tanfovy, bg=jnp.zeros(3), scale_modifier=1.0,
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+        inv_viewprojmatrix=cam.inv_viewprojmatrix, sh_degree=3,
+        campos=cam.campos, prefiltered=False, settings=ext,
+    )
+    cap, pad, seg = suggest_capacities(
+        scene.means3d, scene.opacities, rs,
+        scales=scene.scales, rotations=scene.rotations,
+    )
+    assert cap % 128 == 0 and pad % 128 == 0 and seg % 128 == 0
+    assert cap < default_pair_capacity(scene.means3d.shape[0])
+    out = rasterize_gaussians(
+        scene.means3d, None, scene.shs, None, scene.opacities,
+        scene.scales, scene.rotations, None, rs,
+        pair_capacity=cap, pad_capacity=pad, seg_cap=seg,
+        interpret=True, full_output=True,
+    )
+    assert not bool(out.overflow)
+    assert not bool(out.grad_overflow)
+    assert bool(jnp.isfinite(out.color).all())
