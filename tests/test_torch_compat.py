@@ -127,3 +127,24 @@ def test_torch_mark_visible_and_validation():
     with pytest.raises(Exception, match="scale/rotation"):
         r(t(scene.means3d), None, t(scene.opacities), shs=t(scene.shs),
           scales=t(scene.scales))
+
+
+def test_torch_precomp_paths_match_jax():
+    """colors_precomp + cov3D_precomp branch (the reference's alternate
+    input pairing) through the torch front-end."""
+    cam, scene, trs, jrs, t = _setup()
+    from stopthepop_tpu.ops.covariance import compute_cov3d
+
+    cov3d = compute_cov3d(scene.scales, 1.0, scene.rotations)
+    r = tc.GaussianRasterizer(trs, interpret=True)
+    color_t, _ = r(
+        t(scene.means3d), None, t(scene.opacities),
+        colors_precomp=t(scene.colors), cov3D_precomp=t(cov3d),
+    )
+    color_j, _ = jax_rasterize(
+        scene.means3d, None, None, scene.colors, scene.opacities,
+        None, None, cov3d, jrs, interpret=True,
+    )
+    np.testing.assert_allclose(
+        color_t.numpy(), np.asarray(color_j), atol=3e-6
+    )
