@@ -32,7 +32,10 @@ def initialize(
     """Initialize jax.distributed (no-op if already initialized or single
     process). On TPU pods all arguments are discovered from the environment;
     on CPU/GPU fleets pass them explicitly."""
-    if jax.process_count() > 1 or jax.distributed.is_initialized():
+    # NOTE: do NOT probe jax.process_count() here — it initializes the
+    # (single-process) backend, after which distributed initialization is
+    # impossible. Only the side-effect-free is_initialized() is safe.
+    if jax.distributed.is_initialized():
         return
     try:
         jax.distributed.initialize(
@@ -41,8 +44,11 @@ def initialize(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        # Single-process run (no coordinator configured) — fine.
-        pass
+        if coordinator_address is not None:
+            # An explicit coordinator was requested: surface the failure
+            # instead of silently running single-process.
+            raise
+        # Env-driven single-process run (no coordinator configured) — fine.
 
 
 def global_mesh(
