@@ -292,3 +292,112 @@ def test_two_process_spatial_render_matches_single_process(tmp_path):
     assert len(fps) == 2, outs
     for fp in fps:
         np.testing.assert_allclose(fp, fp_ref, rtol=1e-5)
+
+
+_RING_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); coord = sys.argv[2]
+sys.path.insert(0, sys.argv[3])
+
+from stopthepop_tpu.parallel import hosts
+hosts.initialize(coord, num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from stopthepop_tpu.config import ExtendedSettings, GaussianRasterizationSettings
+from stopthepop_tpu.models.gaussians import init_random
+from stopthepop_tpu.parallel.ring import make_ring_render
+from stopthepop_tpu.parallel.spatial import shard_model
+from stopthepop_tpu.train.trainer import CameraArrays
+from stopthepop_tpu.utils.testing import make_camera
+
+SIZE = 128
+mesh = hosts.global_mesh(("shards",))
+cam = make_camera(SIZE, SIZE, campos=(0.0, 0.0, -4.0))
+static = GaussianRasterizationSettings(
+    image_height=SIZE, image_width=SIZE, tanfovx=cam.tanfovx,
+    tanfovy=cam.tanfovy, bg=jnp.array([0.1, 0.2, 0.3]), scale_modifier=1.0,
+    viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+    inv_viewprojmatrix=cam.inv_viewprojmatrix, sh_degree=3,
+    campos=cam.campos, prefiltered=False, settings=ExtendedSettings(),
+)
+model = init_random(jax.random.PRNGKey(0), 256)
+cams = CameraArrays(
+    cam.viewmatrix, cam.projmatrix, cam.inv_viewprojmatrix, cam.campos
+)
+rep = NamedSharding(mesh, P())
+g = lambda tree: jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+render, cfg = make_ring_render(
+    mesh, static=static, per_step_capacity=1024, interpret=True
+)
+img, overflow = render(shard_model(model, mesh, axis="shards"), g(cams))
+assert not bool(overflow)
+fp = jax.jit(lambda x: jnp.sum(jnp.abs(x)), out_shardings=rep)(img)
+print(f"RESULT {pid} fp={float(fp):.8e}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_ring_render_matches_single_process(tmp_path):
+    """Ring-streamed Gaussian sharding over a REAL 2-process mesh: the
+    ppermute rotations cross the process boundary every ring step."""
+    from stopthepop_tpu.config import (
+        ExtendedSettings, GaussianRasterizationSettings,
+    )
+    from stopthepop_tpu.models.gaussians import init_random
+    from stopthepop_tpu.train.trainer import CameraArrays
+    from stopthepop_tpu.utils.testing import make_camera
+
+    SIZE = 128
+    cam = make_camera(SIZE, SIZE, campos=(0.0, 0.0, -4.0))
+    static = GaussianRasterizationSettings(
+        image_height=SIZE, image_width=SIZE, tanfovx=cam.tanfovx,
+        tanfovy=cam.tanfovy, bg=jnp.array([0.1, 0.2, 0.3]),
+        scale_modifier=1.0, viewmatrix=cam.viewmatrix,
+        projmatrix=cam.projmatrix,
+        inv_viewprojmatrix=cam.inv_viewprojmatrix, sh_degree=3,
+        campos=cam.campos, prefiltered=False, settings=ExtendedSettings(),
+    )
+    model = init_random(jax.random.PRNGKey(0), 256)
+    cams = CameraArrays(
+        cam.viewmatrix, cam.projmatrix, cam.inv_viewprojmatrix, cam.campos
+    )
+    ref, *_ = render_model(model, cams, static=static, pair_capacity=8192,
+                           interpret=True)
+    fp_ref = float(jnp.sum(jnp.abs(ref)))
+
+    worker = tmp_path / "worker_ring.py"
+    worker.write_text(_RING_WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), coord, repo_root],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo_root,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    fps = [
+        float(line.split("=")[1])
+        for out in outs for line in out.splitlines()
+        if line.startswith("RESULT")
+    ]
+    assert len(fps) == 2, outs
+    for fp in fps:
+        np.testing.assert_allclose(fp, fp_ref, rtol=1e-5)
