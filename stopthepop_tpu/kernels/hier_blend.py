@@ -54,6 +54,13 @@ from .kbuffer_blend import (
 #   0 a_eff | 1 d_tail | 2 d_mid | 3 d_head | 4 v_tail | 5 r | 6 g | 7 b
 FWD_STAGE = 8
 
+# Unroll factor of the per-entry cascade fori_loop (a measured speed knob:
+# Mosaic serializes loop trips; unrolling trades icache/compile time for
+# pipeline overlap). Env-tunable for on-chip sweeps (benchmarks/TPU_QUEUE.md).
+import os as _os
+
+CASC_UNROLL = int(_os.environ.get("STP_HIER_UNROLL", "2"))
+
 # Window field layouts (leading row = sort key):
 TAIL_F = 7  # key(d_tail), d_mid, d_head, a, r, g, b
 MID_F = 6   # key(d_mid), d_head, a, r, g, b
@@ -611,7 +618,7 @@ def _fwd_kernel(
                    row[6:7]]
             return push_mid(state, fm, fh, v, e_t)
 
-        return jax.lax.fori_loop(0, TAIL_BATCH, one, carry, unroll=2)
+        return jax.lax.fori_loop(0, TAIL_BATCH, one, carry, unroll=CASC_UNROLL)
 
     def body(kk, carry):
         slot = kk % 2
@@ -1108,7 +1115,7 @@ def _bwd_kernel(
             return push_mid(state, fm, fh, v, e_t, rst, slot_base + e, base)
 
         return jax.lax.fori_loop(
-            0, TAIL_BATCH, one, (state, fm, fh, rst), unroll=2
+            0, TAIL_BATCH, one, (state, fm, fh, rst), unroll=CASC_UNROLL
         )
 
     def body(kk, carry):
