@@ -61,6 +61,8 @@ run prof_hierb 2400 python benchmarks/profile_step.py $P2 --mode HIER --batched-
 run prof_hierb_q16 1800 python benchmarks/profile_step.py $P2 --mode HIER --batched-cascade --queues 16,8,4 --fwd-only --top 12
 run prof_hier_q16 1800 python benchmarks/profile_step.py $P2 --mode HIER --queues 16,8,4 --fwd-only --top 12
 
+run prof_hierb_cb16 1800 env STP_CASC_BATCH=16 python benchmarks/profile_step.py $P2 --mode HIER --batched-cascade --fwd-only --top 12
+
 # 6. per-entry cascade unroll knob (STP_HIER_UNROLL, default 2)
 run prof_hier_u4 1800 env STP_HIER_UNROLL=4 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
 run prof_hier_u8 1800 env STP_HIER_UNROLL=8 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12

@@ -261,7 +261,10 @@ TAIL_PLANES = 4
 PK_STAGE = 5  # packed staging rows: key, V1, V2, V3, v_tail
 # Batched-cascade sub-batch: small enough that km + CASC_BATCH and
 # kh + CASC_BATCH stay near a power of two (the bitonic merge pads to one).
-CASC_BATCH = 8
+# Env-tunable for on-chip sweeps (16 halves the rounds per tail batch at
+# wider merges); must divide TAIL_BATCH.
+CASC_BATCH = int(_os.environ.get("STP_CASC_BATCH", "8"))
+assert TAIL_BATCH % CASC_BATCH == 0
 
 
 def _intake_packed(data, cam_ref, tx, ty, count_rem, width, height,
