@@ -220,6 +220,10 @@ def main(argv=None):
                     "gradient buffers (auto-sized from a probe by default)")
     ap.add_argument("--scene-extent", type=float, default=1.3,
                     help="NeRF-synthetic cameras orbit radius ~4, object ~1.3")
+    ap.add_argument("--sh-ramp-every", type=int, default=1000,
+                    help="activate one more SH band every N steps (the "
+                    "upstream oneupSHdegree schedule); 0 = all bands "
+                    "active from step 0")
     ap.add_argument("--densify-from", type=int, default=500)
     ap.add_argument("--densify-until", type=int, default=15_000)
     ap.add_argument("--densify-every", type=int, default=100)
@@ -292,7 +296,8 @@ def main(argv=None):
     stats = init_densify_stats(args.capacity)
     step_fn = jax.jit(make_train_step(
         optimizer, static=static, pair_capacity=args.pair_capacity,
-        seg_cap=args.seg_cap, interpret=args.interpret,
+        seg_cap=args.seg_cap, sh_ramp_every=args.sh_ramp_every,
+        interpret=args.interpret,
     ))
     cam_arrays = [to_arrays(c) for c in cams]
     targets = jnp.asarray(targets)

@@ -138,6 +138,20 @@ def make_3dgs_optimizer(
     )
 
 
+# SH band of each rest-coefficient (coeffs 1..15): degree l covers indices
+# [l^2, (l+1)^2).
+_SH_REST_BAND = jnp.array([1] * 3 + [2] * 5 + [3] * 7, jnp.int32)
+
+
+def active_sh_mask(active_degree, n_rest: int = 15):
+    """[n_rest, 1] mask over sh_rest coefficients for a (traced) active
+    degree — the upstream trainer's progressive oneupSHdegree schedule,
+    jit-friendly: inactive bands render as zero and receive zero gradient."""
+    return (
+        _SH_REST_BAND[:n_rest] <= active_degree
+    ).astype(jnp.float32)[:, None]
+
+
 def make_train_step(
     optimizer,
     *,
@@ -146,15 +160,33 @@ def make_train_step(
     pair_capacity: Optional[int] = None,
     pad_capacity: Optional[int] = None,
     seg_cap: int = 16384,
+    sh_ramp_every: int = 0,
     interpret: bool = False,
 ):
-    """Returns jittable (state, cam, target, stats) -> (state, stats, aux)."""
+    """Returns jittable (state, cam, target, stats) -> (state, stats, aux).
+
+    ``sh_ramp_every > 0`` enables the upstream trainer's progressive SH
+    schedule (one more band every N steps, up to ``static.sh_degree``):
+    higher bands are masked out of the render — and therefore out of the
+    gradients — until active. The step counter lives in TrainState, so the
+    ramp costs no retracing."""
 
     def train_step(state: TrainState, cam: CameraArrays, target, stats):
         P = state.model.num_gaussians
         means2d_dummy = jnp.zeros((P, 2), jnp.float32)
 
+        if sh_ramp_every:
+            active = jnp.minimum(
+                (state.step // sh_ramp_every).astype(jnp.int32),
+                int(static.sh_degree),
+            )
+            mask = active_sh_mask(active, state.model.sh_rest.shape[1])
+        else:
+            mask = None
+
         def loss_fn(model, m2d):
+            if mask is not None:
+                model = model._replace(sh_rest=model.sh_rest * mask)
             out = render_model(
                 model, cam, static=static, means2d_dummy=m2d,
                 pair_capacity=pair_capacity, pad_capacity=pad_capacity,

@@ -125,3 +125,52 @@ def test_batched_train_step_matches_mean_of_grads():
         new_state, new_stats, aux = step(new_state, cams, targets, new_stats)
         losses.append(float(aux["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_progressive_sh_schedule():
+    """sh_ramp_every: bands above the active degree are masked from the
+    render and receive zero gradient (the upstream oneupSHdegree schedule);
+    once the ramp completes the step matches the unramped one."""
+    import jax.numpy as jnp
+
+    from stopthepop_tpu.train.trainer import TrainState, active_sh_mask
+
+    size = 32
+    cam = make_camera(size, size)
+    static = _static(cam, size)
+    cam_arrays = CameraArrays(
+        cam.viewmatrix, cam.projmatrix, cam.inv_viewprojmatrix, cam.campos
+    )
+    model = init_random(jax.random.PRNGKey(0), 60)
+    target = jax.random.uniform(jax.random.PRNGKey(1), (3, size, size))
+    optimizer = make_optimizer(5e-3)
+    ramped = jax.jit(make_train_step(
+        optimizer, static=static, pair_capacity=4096, sh_ramp_every=1000,
+        interpret=True,
+    ))
+    plain = jax.jit(make_train_step(
+        optimizer, static=static, pair_capacity=4096, interpret=True
+    ))
+    stats = init_densify_stats(60)
+
+    # Step 0: only the DC band is active -> rest coefficients get zero
+    # gradient, so Adam leaves them bit-identical.
+    state0 = init_train_state(model, optimizer)
+    s1, _, aux = ramped(state0, cam_arrays, target, stats)
+    np.testing.assert_array_equal(
+        np.asarray(s1.model.sh_rest), np.asarray(model.sh_rest)
+    )
+    assert float(np.abs(np.asarray(s1.model.sh_dc - model.sh_dc)).max()) > 0
+
+    # Band mask shape/content sanity.
+    m = np.asarray(active_sh_mask(jnp.int32(2), 15))[:, 0]
+    assert m.tolist() == [1.0] * 3 + [1.0] * 5 + [0.0] * 7
+
+    # Past the ramp (step >= 3000 at degree 3) the masked step IS the
+    # plain step.
+    state3k = TrainState(model, optimizer.init(model), jnp.int32(3000))
+    sr, _, _ = ramped(state3k, cam_arrays, target, stats)
+    sp, _, _ = plain(state3k, cam_arrays, target, stats)
+    for a, b in zip(jax.tree_util.tree_leaves(sr.model),
+                    jax.tree_util.tree_leaves(sp.model)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
