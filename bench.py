@@ -16,7 +16,38 @@ host/tunnel dispatch latency is excluded.
 
 import json
 import os
+import sys
 import time
+
+
+def _backend_or_die(timeout_s: int = 180):
+    """Fail fast instead of hanging forever when the axon TPU tunnel is
+    wedged: backend init blocks with no timeout of its own (and may hold
+    the GIL, so an in-process alarm can't be trusted) — probe it in a
+    THROWAWAY subprocess. Must run BEFORE the package imports below:
+    importing the trainer pulls in orbax, which initializes the backend at
+    import time."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "fwd+bwd throughput, 1080p, 500K gaussians, L1+D-SSIM",
+            "value": None, "unit": "Mpix/s per chip", "vs_baseline": None,
+            "error": f"backend init probe failed ({type(e).__name__}): "
+                     "TPU tunnel down",
+        }))
+        sys.stdout.flush()
+        raise SystemExit(2)
+
+
+if __name__ == "__main__":
+    _backend_or_die(int(os.environ.get("STP_BENCH_PROBE_S", "180")))
 
 import jax
 import jax.numpy as jnp
