@@ -139,17 +139,17 @@ def make_3dgs_optimizer(
 
 
 # SH band of each rest-coefficient (coeffs 1..15): degree l covers indices
-# [l^2, (l+1)^2).
-_SH_REST_BAND = jnp.array([1] * 3 + [2] * 5 + [3] * 7, jnp.int32)
+# [l^2, (l+1)^2). Plain Python — a module-level jnp.array would initialize
+# the XLA backend at import and break jax.distributed bring-up.
+_SH_REST_BAND = (1,) * 3 + (2,) * 5 + (3,) * 7
 
 
 def active_sh_mask(active_degree, n_rest: int = 15):
     """[n_rest, 1] mask over sh_rest coefficients for a (traced) active
     degree — the upstream trainer's progressive oneupSHdegree schedule,
     jit-friendly: inactive bands render as zero and receive zero gradient."""
-    return (
-        _SH_REST_BAND[:n_rest] <= active_degree
-    ).astype(jnp.float32)[:, None]
+    bands = jnp.asarray(_SH_REST_BAND[:n_rest], jnp.int32)
+    return (bands <= active_degree).astype(jnp.float32)[:, None]
 
 
 def make_train_step(

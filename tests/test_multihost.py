@@ -401,3 +401,115 @@ def test_two_process_ring_render_matches_single_process(tmp_path):
     assert len(fps) == 2, outs
     for fp in fps:
         np.testing.assert_allclose(fp, fp_ref, rtol=1e-5)
+
+
+_CKPT_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); coord = sys.argv[2]
+sys.path.insert(0, sys.argv[3])
+ckpt_dir = sys.argv[4]
+
+from stopthepop_tpu.parallel import hosts
+hosts.initialize(coord, num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from stopthepop_tpu.models.gaussians import init_random
+from stopthepop_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+mesh = hosts.global_mesh(("gauss",))
+model = init_random(jax.random.PRNGKey(0), 256)
+sh = NamedSharding(mesh, P("gauss"))
+model_sh = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), model)
+rep = NamedSharding(mesh, P())
+fp_in = float(jax.jit(
+    lambda m: jnp.sum(jnp.abs(m.means3d)), out_shardings=rep)(model_sh))
+
+path = save_checkpoint(ckpt_dir, model_sh, step=7)
+print(f"SAVED {pid} {path}", flush=True)
+
+template = jax.tree_util.tree_map(
+    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh), model_sh
+)
+restored = load_checkpoint(path, template)
+fp_out = float(jax.jit(
+    lambda m: jnp.sum(jnp.abs(m.means3d)), out_shardings=rep)(restored))
+assert abs(fp_in - fp_out) < 1e-6 * (abs(fp_in) + 1), (fp_in, fp_out)
+print(f"RESULT {pid} fp={fp_out:.8e} orbax={'ckpt_7' in path and not path.endswith('.npz')}",
+      flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax checkpoint of a gauss-sharded TrainModel across a REAL
+    2-process mesh: save coordinates through jax.distributed, restore onto
+    the same sharding, fingerprints match (the §5.4 x §5.8 combination)."""
+    worker = tmp_path / "worker_ckpt.py"
+    worker.write_text(_CKPT_WORKER)
+    ckpt_dir = str(tmp_path / "ckpts")
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), coord, repo_root, ckpt_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo_root,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    results = [line for out in outs for line in out.splitlines()
+               if line.startswith("RESULT")]
+    assert len(results) == 2, outs
+
+
+def test_package_import_leaves_backend_uninitialized():
+    """jax.distributed bring-up requires that importing the framework does
+    NOT initialize the XLA backend (no module-level jnp.array/jax.devices
+    anywhere in the import graph) — the exact regression that once broke
+    2-process initialization."""
+    prog = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "import stopthepop_tpu\n"
+        "import stopthepop_tpu.parallel.hosts\n"
+        "import stopthepop_tpu.parallel.train\n"
+        "import stopthepop_tpu.parallel.spatial\n"
+        "import stopthepop_tpu.parallel.ring\n"
+        "import stopthepop_tpu.train.trainer\n"
+        "import stopthepop_tpu.train.cli\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb.backends_are_initialized(), "
+        "'package import initialized the XLA backend'\n"
+        "print('CLEAN')\n"
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", prog, repo_root], env=env, cwd=repo_root,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0 and "CLEAN" in out.stdout, (
+        out.stdout + out.stderr
+    )
