@@ -148,3 +148,21 @@ def test_torch_precomp_paths_match_jax():
     np.testing.assert_allclose(
         color_t.numpy(), np.asarray(color_j), atol=3e-6
     )
+
+
+def test_torch_debug_snapshot_on_failure(tmp_path, monkeypatch):
+    """debug=True dumps the exact inputs on failure (the reference's
+    snapshot_fw.dump contract, __init__.py:96-103) at the torch layer."""
+    monkeypatch.chdir(tmp_path)
+    cam, scene, trs, jrs, t = _setup()
+    trs = trs._replace(debug=True)
+    r = tc.GaussianRasterizer(trs, interpret=True)
+    bad_means = t(scene.means3d)[:, :2]  # wrong shape -> pipeline raises
+    with pytest.raises(Exception):
+        r(bad_means, None, t(scene.opacities), shs=t(scene.shs),
+          scales=t(scene.scales), rotations=t(scene.rotations))
+    dump = tmp_path / "snapshot_fw.dump"
+    assert dump.exists()
+    payload = torch.load(str(dump), weights_only=False)
+    assert "means3D" in payload and "raster_settings" in payload
+    assert payload["means3D"].shape == bad_means.shape
