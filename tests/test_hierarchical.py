@@ -271,11 +271,14 @@ def test_hier_default_queues_grads_match_oracle():
         )
 
 
+@pytest.mark.parametrize("hier_4x4", [False, True])
 @pytest.mark.slow
-def test_hier_batched_cascade_oracle_matches_sequential():
+def test_hier_batched_cascade_oracle_matches_sequential(hier_4x4):
     """The batched mid/head cascade (hier_blend._win_round cadence) must
     blend the same entry multisets as the per-entry cascade: oracle vs
-    oracle, eager (the batched graph is too large for XLA-CPU jit).
+    oracle, eager (the batched graph is too large for XLA-CPU jit) —
+    with and without hierarchical 4x4 culling. Observed exact (0.0)
+    equality on these scenes, asserted to fp tolerance.
 
     The Pallas kernel's batched path is gated on-chip by
     benchmarks/verify_batched_cascade.py (its interpret-mode compile is
@@ -287,14 +290,17 @@ def test_hier_batched_cascade_oracle_matches_sequential():
     prep = _prep(scene, cam)
     bg = jnp.array([0.15, 0.05, 0.3])
     with jax.disable_jit():
-        img_b, T_b, _ = render_hierarchical_naive(
+        img_b, T_b, n_b = render_hierarchical_naive(
             prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
-            queue_sizes=(16, 8, 4), batched_cascade=True,
+            queue_sizes=(16, 8, 4), hier_4x4_culling=hier_4x4,
+            batched_cascade=True,
         )
-        img_s, T_s, _ = render_hierarchical_naive(
+        img_s, T_s, n_s = render_hierarchical_naive(
             prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
-            queue_sizes=(16, 8, 4), batched_cascade=False,
+            queue_sizes=(16, 8, 4), hier_4x4_culling=hier_4x4,
+            batched_cascade=False,
         )
     np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_s),
                                atol=2e-6)
     np.testing.assert_allclose(np.asarray(T_b), np.asarray(T_s), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_s))
