@@ -52,12 +52,12 @@ P2="--width 800 --height 800 --gaussians 100000"
 run prof_kbuf_fwd 1200 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --fwd-only --top 12
 run prof_kbuf 1800 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 12
 run prof_hier_fwd 1800 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
-run prof_hier 2400 python benchmarks/profile_step.py $P2 --mode HIER --top 12
+run prof_hier 3600 python benchmarks/profile_step.py $P2 --mode HIER --top 12
 
 # 5. batched mid/head cascade: correctness gate, then A/B
-run verify_bcasc 2400 python benchmarks/verify_batched_cascade.py
+run verify_bcasc 3600 python benchmarks/verify_batched_cascade.py
 run prof_hierb_fwd 1800 python benchmarks/profile_step.py $P2 --mode HIER --batched-cascade --fwd-only --top 12
-run prof_hierb 2400 python benchmarks/profile_step.py $P2 --mode HIER --batched-cascade --top 12
+run prof_hierb 3600 python benchmarks/profile_step.py $P2 --mode HIER --batched-cascade --top 12
 run prof_hierb_q16 1800 python benchmarks/profile_step.py $P2 --mode HIER --batched-cascade --queues 16,8,4 --fwd-only --top 12
 run prof_hier_q16 1800 python benchmarks/profile_step.py $P2 --mode HIER --queues 16,8,4 --fwd-only --top 12
 
