@@ -454,10 +454,22 @@ def _unpack_batch(emit, vmask):
         # subtile * 8 + field, which stays inside this half's 64-lane span.
         sub_a = (q16 // 64) * 4 + (q16 % 16) // 4
         idx_a = h * 64 + sub_a * 8 + (r16 % 8)
-        halves_a.append(jnp.take_along_axis(op_a, idx_a[None], axis=2))
+        # Mosaic lowers only 2D gathers: collapse the (batch, row) sublane
+        # dims and gather along lanes, then split back.
+        ga = jnp.take_along_axis(
+            op_a.reshape(B * 16, 128),
+            jnp.broadcast_to(idx_a[None], (B, 16, 128)).reshape(B * 16, 128),
+            axis=1,
+        )
+        halves_a.append(ga.reshape(B, 16, 128))
         sub_b = (q8 // 64) * 4 + (q8 % 16) // 4
         idx_b = h * 64 + sub_b * 8 + jnp.minimum(r8, 2)
-        halves_b.append(jnp.take_along_axis(op_b, idx_b[None], axis=2))
+        gb = jnp.take_along_axis(
+            op_b.reshape(B * 8, 128),
+            jnp.broadcast_to(idx_b[None], (B, 8, 128)).reshape(B * 8, 128),
+            axis=1,
+        )
+        halves_b.append(gb.reshape(B, 8, 128))
     wide_a = jnp.concatenate(halves_a, axis=2)               # [B, 16, 256]
     wide_b = jnp.concatenate(halves_b, axis=2)               # [B, 8, 256]
     rows = [wide_a[:, i, :] for i in range(16)]
