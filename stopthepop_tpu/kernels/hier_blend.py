@@ -61,6 +61,29 @@ import os as _os
 
 CASC_UNROLL = int(_os.environ.get("STP_HIER_UNROLL", "2"))
 
+
+def _fori_unrolled(n, body, carry, unroll):
+    """fori_loop over a static trip count with a Mosaic-compatible unroll.
+
+    Mosaic's loop lowering accepts only unroll=1 or a full unroll, so
+    unroll-by-U is expressed as an outer sequential loop over n // U groups
+    whose body inlines U consecutive steps (U snapped down to a divisor).
+    """
+    u = max(1, min(int(unroll), n))
+    while n % u:
+        u -= 1
+    if u == n:
+        for e in range(n):
+            carry = body(e, carry)
+        return carry
+
+    def group(g, c):
+        for j in range(u):
+            c = body(g * u + j, c)
+        return c
+
+    return jax.lax.fori_loop(0, n // u, group, carry)
+
 # Window field layouts (leading row = sort key):
 TAIL_F = 7  # key(d_tail), d_mid, d_head, a, r, g, b
 MID_F = 6   # key(d_mid), d_head, a, r, g, b
@@ -633,7 +656,7 @@ def _fwd_kernel(
                    row[6:7]]
             return push_mid(state, fm, fh, v, e_t)
 
-        return jax.lax.fori_loop(0, TAIL_BATCH, one, carry, unroll=CASC_UNROLL)
+        return _fori_unrolled(TAIL_BATCH, one, carry, CASC_UNROLL)
 
     def body(kk, carry):
         slot = kk % 2
@@ -1129,8 +1152,8 @@ def _bwd_kernel(
             e_t = [None, row[1:2], row[2:3], row[3:4], row[4:5], row[5:6]]
             return push_mid(state, fm, fh, v, e_t, rst, slot_base + e, base)
 
-        return jax.lax.fori_loop(
-            0, TAIL_BATCH, one, (state, fm, fh, rst), unroll=CASC_UNROLL
+        return _fori_unrolled(
+            TAIL_BATCH, one, (state, fm, fh, rst), CASC_UNROLL
         )
 
     def body(kk, carry):
