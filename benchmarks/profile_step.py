@@ -110,8 +110,19 @@ def build_step(args):
     return run, model, capacity
 
 
-def collect(trace_dir, iters, top):
-    """Aggregate device-track op durations from the perfetto trace."""
+def device_exclusive_totals(trace_dir):
+    """Per-op EXCLUSIVE device durations from the latest perfetto trace.
+
+    Trace spans on a device track nest (jit_run > while > fusion ...); a
+    naive sum counts every parent on top of its children, overstating the
+    step several-fold (round-2 verdict weak #4). Here each track's spans
+    are walked with a nesting stack and a child's duration is subtracted
+    from its parent, so the per-op numbers are exclusive self-time and the
+    returned ``top_us`` (sum of top-level spans) is the true device-busy
+    time.
+
+    Returns (totals: {op: exclusive_us}, top_us).
+    """
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
     )
@@ -132,7 +143,7 @@ def collect(trace_dir, iters, top):
                 device_pids.add(e.get("pid"))
         elif e.get("name") == "thread_name" and name.startswith("tf_XLA"):
             xla_tids.add((e.get("pid"), e.get("tid")))
-    totals = {}
+    tracks = {}
     for e in events:
         if e.get("ph") != "X":
             continue
@@ -140,12 +151,37 @@ def collect(trace_dir, iters, top):
         on_xla_thread = (e.get("pid"), e.get("tid")) in xla_tids
         if not (on_device or (not device_pids and on_xla_thread)):
             continue
-        name = e.get("name", "?")
-        totals[name] = totals.get(name, 0.0) + float(e.get("dur", 0.0))
+        tracks.setdefault((e.get("pid"), e.get("tid")), []).append(
+            (float(e.get("ts", 0.0)), float(e.get("dur", 0.0)),
+             e.get("name", "?"))
+        )
+    totals = {}
+    top_us = 0.0
+    for spans in tracks.values():
+        spans.sort(key=lambda s: (s[0], -s[1]))  # parents before children
+        stack = []  # [end_ts, name, exclusive_us]
+        for ts, dur, name in spans:
+            while stack and ts >= stack[-1][0]:
+                _, n, excl = stack.pop()
+                totals[n] = totals.get(n, 0.0) + max(excl, 0.0)
+            if stack:
+                stack[-1][2] -= dur  # child time is not parent self-time
+            else:
+                top_us += dur
+            stack.append([ts + dur, name, dur])
+        while stack:
+            _, n, excl = stack.pop()
+            totals[n] = totals.get(n, 0.0) + max(excl, 0.0)
+    return totals, top_us
+
+
+def collect(trace_dir, iters, top):
+    """Print the exclusive-time breakdown of a traced run."""
+    totals, top_us = device_exclusive_totals(trace_dir)
     rows = sorted(totals.items(), key=lambda kv: -kv[1])
     total_us = sum(totals.values())
-    print(f"# device total: {total_us / 1e3 / iters:.2f} ms/iter "
-          f"over {iters} iters")
+    print(f"# device total: {top_us / 1e3 / iters:.2f} ms/iter "
+          f"(exclusive-sum {total_us / 1e3 / iters:.2f}) over {iters} iters")
     for name, us in rows[:top]:
         print(json.dumps({
             "op": name[:100],

@@ -94,16 +94,23 @@ def main():
          {"hq": (16, 8, 4)}),
     ]
     for name, mode, order, opts in cases:
-        img = _render(
-            static_for(mode, order, **opts), model, cams, capacity, interpret,
-        )
-        diff = jnp.abs(img - full)
-        print(json.dumps({
-            "case": name,
-            "psnr_vs_full": round(psnr(img, full), 2),
-            "mean_abs": round(float(jnp.mean(diff)), 6),
-            "max_abs": round(float(jnp.max(diff)), 4),
-        }), flush=True)
+        try:
+            img = _render(
+                static_for(mode, order, **opts), model, cams, capacity,
+                interpret,
+            )
+            diff = jnp.abs(img - full)
+            print(json.dumps({
+                "case": name,
+                "psnr_vs_full": round(psnr(img, full), 2),
+                "mean_abs": round(float(jnp.mean(diff)), 6),
+                "max_abs": round(float(jnp.max(diff)), 4),
+            }), flush=True)
+        except Exception as exc:  # noqa: BLE001 - per-case isolation
+            print(json.dumps({
+                "case": name,
+                "error": f"{type(exc).__name__}: {exc}"[:300],
+            }), flush=True)
 
     if args.small:
         # Analytic out-of-order mass of the GLOBAL order (O(P*pixels)).

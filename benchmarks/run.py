@@ -82,8 +82,22 @@ def emit(config, case, px, dt):
     }), flush=True)
 
 
-def bench_mode(config, case, width, height, num_gaussians, scale_shift,
-               capacity, sort_mode, backward, iters, **flags):
+def bench_mode(config, case, *args, **kwargs):
+    """Per-cell isolation: one broken (config, mode) must not abort the
+    table (round-2 run_all died at config-1 HIER and produced nothing for
+    configs 2-4). Errors become rows."""
+    try:
+        _bench_mode(config, case, *args, **kwargs)
+    except Exception as exc:  # noqa: BLE001 - the row IS the report
+        print(json.dumps({
+            "config": config,
+            "case": case,
+            "error": f"{type(exc).__name__}: {exc}"[:300],
+        }), flush=True)
+
+
+def _bench_mode(config, case, width, height, num_gaussians, scale_shift,
+                capacity, sort_mode, backward, iters, **flags):
     cam, model, cams = _scene(width, height, num_gaussians, scale_shift)
     static = _static(cam, width, height, sort_mode, **flags)
     interpret = jax.default_backend() != "tpu"

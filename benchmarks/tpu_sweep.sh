@@ -6,7 +6,7 @@
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="${PYTHONPATH:-}:/root/repo"
-OUT=${OUT:-/root/repo/benchmarks/results_r2}
+OUT=${OUT:-/root/repo/benchmarks/results_r3}
 mkdir -p "$OUT"
 
 run() {  # run <name> <timeout-s> <cmd...>
@@ -25,9 +25,16 @@ run() {  # run <name> <timeout-s> <cmd...>
 timeout 120 python -c "import jax; print(jax.devices())" || {
   echo "tunnel down, abort"; exit 1; }
 
+# 0b. HARDWARE COMPILE GATE — runs FIRST; a red gate means the kernels do
+# not lower on the chip and nothing below is shippable (round-2 verdict
+# weak #1). The sweep continues to gather evidence, but the gate log is
+# the go/no-go.
+run gate_quick 3600 python benchmarks/compile_gate.py --quick
+run gate_full 7200 python benchmarks/compile_gate.py
+
 # 1. headline + per-config tables
 run bench 1800 python bench.py
-run run_all 5400 python benchmarks/run.py --all
+run run_all 7200 python benchmarks/run.py --all
 
 # 1b. headline A/Bs (landed-but-unmeasured levers, individually + combined)
 run bench_tile32 1800 env STP_BENCH_TILE=32x16 python bench.py
@@ -35,11 +42,11 @@ run bench_bf16 1800 env STP_BENCH_BF16=1 python bench.py
 run bench_rankkey 1800 env STP_BENCH_RANKKEY=1 python bench.py
 run bench_combo 1800 env STP_BENCH_TILE=32x16 STP_BENCH_BF16=1 STP_BENCH_RANKKEY=1 python bench.py
 
-# 2. sort design decision data
+# 2. sort design decision data (profiler device durations, not wall-clock)
 run sort_micro 1800 python benchmarks/sort_micro.py --n 3240000
 
-# 2b. quality ladder at config-2 scale (VERDICT #4: sort-error report)
-run quality 3600 python benchmarks/quality.py
+# 2b. quality ladder at config-2 scale (VERDICT #7: sort-error report)
+run quality 7200 python benchmarks/quality.py
 
 # 3. profile A/Bs on the headline step (GLOBAL train step)
 run prof_global 1200 python benchmarks/profile_step.py --top 20
@@ -47,7 +54,7 @@ run prof_rankkey 1200 python benchmarks/profile_step.py --rank-key --top 20
 run prof_tile32 1200 python benchmarks/profile_step.py --tile 32x16 --top 20
 run prof_bf16 1200 python benchmarks/profile_step.py --carry-bf16 --top 20
 
-# 4. resort modes at config 2 (100K, 800x800): post-moment-routing numbers
+# 4. resort modes at config 2 (100K, 800x800): like-for-like fwd vs fwd+bwd
 P2="--width 800 --height 800 --gaussians 100000"
 run prof_kbuf_fwd 1200 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --fwd-only --top 12
 run prof_kbuf 1800 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 12

@@ -56,6 +56,12 @@ def _bitonic_planes(planes, n, descending=False):
     is a reshape + masked swap of contiguous half-blocks. `descending`
     inverts every stage's direction (there is no TPU lowering for lax.rev,
     so callers needing a descending batch sort it directly).
+
+    Every compare/select runs on 2D ``(rows, L)`` views: Mosaic cannot lower
+    3D i1 vectors (``arith.trunci vector<MxSxLxi8> -> i1`` is unsupported),
+    so the [m, s, L] half-block tensors are collapsed to [m*s, L] before any
+    boolean op, and the per-block ascending flag is materialised row-wise
+    from a 2D iota instead of a [m, 1, 1] broadcast.
     """
     L = planes[0].shape[1]
     k = 2
@@ -63,24 +69,37 @@ def _bitonic_planes(planes, n, descending=False):
         s = k // 2
         while s >= 1:
             m = n // (2 * s)
+            rows = m * s
 
-            def rs(x):
-                return x.reshape(m, 2, s, L)
+            def lohi(x):
+                xr = x.reshape(m, 2, s, L)
+                return (
+                    xr[:, 0].reshape(rows, L),
+                    xr[:, 1].reshape(rows, L),
+                )
 
-            key = rs(planes[0])
-            lo, hi = key[:, 0], key[:, 1]  # [m, s, L]
-            blk = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
+            lo, hi = lohi(planes[0])  # [m*s, L] each
+            row = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 0)
+            blk = row // s  # block index; element index = blk * 2s + ...
             asc = ((blk * (2 * s)) & k) == 0
             if descending:
                 asc = ~asc
-            swap = jnp.where(asc, lo > hi, lo < hi)
+            # NOT jnp.where(asc, lo>hi, lo<hi): a select with boolean
+            # result operands lowers to an i8->i1 arith.trunci that Mosaic
+            # rejects ("Unsupported target bitwidth for truncation"); plain
+            # logical ops stay on native i1 predicates.
+            swap = (asc & (lo > hi)) | (~asc & (lo < hi))
             out = []
             for p in planes:
-                pr = rs(p)
-                plo, phi = pr[:, 0], pr[:, 1]
+                plo, phi = lohi(p)
                 nlo = jnp.where(swap, phi, plo)
                 nhi = jnp.where(swap, plo, phi)
-                out.append(jnp.stack([nlo, nhi], axis=1).reshape(n, L))
+                out.append(
+                    jnp.concatenate(
+                        [nlo.reshape(m, s, L), nhi.reshape(m, s, L)],
+                        axis=1,
+                    ).reshape(n, L)
+                )
             planes = out
             s //= 2
         k *= 2

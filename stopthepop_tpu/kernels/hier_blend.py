@@ -72,6 +72,14 @@ def _fori_unrolled(n, body, carry, unroll):
     u = max(1, min(int(unroll), n))
     while n % u:
         u -= 1
+    if u != unroll and unroll > 1:
+        import warnings
+
+        warnings.warn(
+            f"STP_HIER_UNROLL={unroll} is not a divisor of the trip count "
+            f"{n}; using effective unroll {u} (label sweeps accordingly)",
+            stacklevel=2,
+        )
     if u == n:
         for e in range(n):
             carry = body(e, carry)

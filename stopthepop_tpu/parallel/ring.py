@@ -31,10 +31,16 @@ owning chip. Deterministic end to end: the same sort/scan machinery as the
 single-chip path, no scatter-adds (the TPU replacement for the reference's
 atomicAdd accumulation, backward.cu:561-592, at multi-chip scale).
 
-Resort modes (KBUFFER/HIER) currently run multi-chip on the all_gather
-spatial path (parallel/spatial.py), which is the right tradeoff at the
-scales where they are used; the ring path is the GLOBAL-mode capacity
-escape hatch for P beyond one chip's HBM.
+Resort modes (KBUFFER/HIER) stream through the same ring: the accumulated
+record rows carry the packed inverse 3D covariance + opacity power
+threshold (the kbuffer payload ingredients, render/pipeline.py::
+build_payload_kbuffer), the pad-into-sort lays the merged stream out in
+global sort order per band, and the unmodified Pallas k-buffer /
+hierarchical kernels blend it — the per-pixel resort window is a property
+of the blend kernel, not of how the pairs arrived, so it survives shard
+rotation by construction. This is the bounded-memory scale-out of the
+paper's quality config (PTD + k-buffer) that SURVEY §5.7/§7.6 calls for:
+per-chip memory stays O(P/n) parameters + O(band pairs), never O(P).
 """
 
 from __future__ import annotations
@@ -69,9 +75,13 @@ from .spatial import (
 )
 
 # Per-pair record columns (accumulation-order table):
-#   0:2 mean2d | 2:6 conic_opacity | 6:9 rgb | 9 depth/sort-key value
+#   GLOBAL:  0:2 mean2d | 2:6 conic_opacity | 6:9 rgb | 9 depth/sort-key
+#   resort:  0:2 mean2d | 2:6 conic_opacity | 6:9 rgb | 9:18 cov3d_inv9
+#            | 18 opacity_power_threshold   (kbuffer payload order,
+#            render/pipeline.py::build_payload_kbuffer)
 REC_F = 10
-GRAD_COLS = 9  # mean2d/conic/rgb carry gradients; depth is stop-grad
+REC_F_RESORT = 19
+GRAD_COLS = 9  # mean2d/conic/rgb carry gradients; the rest is stop-grad
 
 
 @functools.lru_cache(maxsize=None)
@@ -127,6 +137,7 @@ def ring_band_render(
     per_step_capacity: int,
     axis: str = "shards",
     chunk: int = 128,
+    seg_cap: int = 16384,
     carry_bf16: bool = False,
     interpret: bool = False,
 ):
@@ -136,17 +147,26 @@ def ring_band_render(
     final_T [band_h, W], overflow [] bool). ``per_step_capacity`` bounds the
     pairs any single (shard, band) combination may emit; overflow reports
     violations exactly like the single-chip pair buffer.
+
+    All sort modes stream: the resort kernels (KBUFFER/HIER) consume the
+    same globally-sorted band stream as the single-chip path — the records
+    carry the per-ray-depth ingredients, and the per-pixel resort window
+    lives in the blend kernel, indifferent to which shard a pair came from.
     """
     rs = rs._replace(
         viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
         inv_viewprojmatrix=cam.inv_viewprojmatrix, campos=cam.campos,
     )
     ext = rs.settings
-    if SortMode(ext.sort_settings.sort_mode) != SortMode.GLOBAL:
+    mode = SortMode(ext.sort_settings.sort_mode)
+    if mode == SortMode.PPX_FULL:
         raise NotImplementedError(
-            "ring streaming supports the GLOBAL sort mode; resort modes "
-            "run multi-chip via parallel.spatial (all_gather bands)"
+            "PPX_FULL is the single-chip quality oracle (fwd-only, like the "
+            "reference, backward.cu:733-736); use GLOBAL/KBUFFER/HIER for "
+            "ring-streamed scale-out"
         )
+    resort = mode in (SortMode.PPX_KBUFFER, SortMode.HIER)
+    rec_f = REC_F_RESORT if resort else REC_F
     n = jax.lax.axis_size(axis)
     band = jax.lax.axis_index(axis)
     band_h = cfg.band_gy * TILE_Y
@@ -173,17 +193,29 @@ def ring_band_render(
             campos=rs.campos, inverse_vp=ivp_band,
             image_width=cfg.image_width, image_height=band_h,
         )
-        # Pair records, shard-local: [per_cap, 10]. depth_key (possibly a
-        # per-tile-depth key) rides as the record's depth column so the
-        # blend sees exactly what the single-chip payload carries.
+        # Pair records, shard-local: [per_cap, rec_f]. The differentiable
+        # columns (mean2d/conic/rgb) go through the run-reduction gather;
+        # the rest of the row is stop-grad (discrete resort, like the
+        # reference): GLOBAL appends the sort-key value as its depth
+        # column, the resort modes append the per-ray-depth ingredients
+        # (packed Sigma^-1 + u, opacity power threshold).
         table = jnp.concatenate(
             [prep.mean2d, prep.conic_opacity, prep.rgb], axis=1
         )  # [p, 9]
         offsets = jnp.cumsum(prep.tiles_touched).astype(jnp.int32)
         rows = expand_rows(table, gid, offsets)  # [per_cap, 9]
-        rows = jnp.concatenate(
-            [rows, jax.lax.stop_gradient(depth_key)[:, None]], axis=1
-        )
+        if resort:
+            extra = jnp.concatenate(
+                [prep.cov3d_inv9, prep.opacity_power_threshold[:, None]],
+                axis=1,
+            )
+            rows = jnp.concatenate(
+                [rows, jax.lax.stop_gradient(extra)[gid]], axis=1
+            )
+        else:
+            rows = jnp.concatenate(
+                [rows, jax.lax.stop_gradient(depth_key)[:, None]], axis=1
+            )
         counts_step = rect_histogram(prep, cfg.grid_x, cfg.band_gy)
         feat_n = jax.lax.ppermute(feat_r, axis, perm)
         ints_n = jax.lax.ppermute(ints_r, axis, perm)
@@ -197,7 +229,7 @@ def ring_band_render(
     c_total = n * per_step_capacity
     tile_id = tids.reshape(c_total)
     depth = deps.reshape(c_total)
-    ptable = rows.reshape(c_total, REC_F)
+    ptable = rows.reshape(c_total, rec_f)
     counts = counts_s.sum(axis=0)
     overflow = jnp.any(ovfs)
 
@@ -208,7 +240,36 @@ def ring_band_render(
     )
     feats = make_slot_gather(c_total, GRAD_COLS, carry_bf16)(
         ptable, segs.orig_slot
-    )  # [10, c_total + T*chunk]
+    )  # [rec_f, c_total + T*chunk]
+    if resort:
+        from ..kernels.blend_vjp import make_blend_hier, make_blend_kbuffer
+        from ..kernels.kbuffer_blend import KB_PAYLOAD_F
+
+        payload = jnp.pad(
+            feats, ((0, KB_PAYLOAD_F - rec_f), (0, chunk))
+        )
+        cam_vec = jnp.concatenate(
+            [ivp_band.reshape(-1), rs.campos.reshape(-1)]
+        ).astype(jnp.float32)
+        qs = ext.sort_settings.queue_sizes
+        if mode == SortMode.PPX_KBUFFER:
+            blend = make_blend_kbuffer(
+                cfg.grid_x, cfg.band_gy, int(qs.per_pixel),
+                cfg.image_width, band_h, chunk, seg_cap, interpret,
+            )
+        else:
+            blend = make_blend_hier(
+                cfg.grid_x, cfg.band_gy,
+                (int(qs.tile_4x4), int(qs.tile_2x2), int(qs.per_pixel)),
+                cfg.image_width, band_h,
+                ext.culling_settings.hierarchical_4x4_culling,
+                chunk, seg_cap, interpret,
+            )
+        packed = blend(payload, segs.starts, segs.counts, rs.bg, cam_vec)
+        color, final_t, _, _ = unpack_image(
+            packed, cfg.grid_x, cfg.band_gy, cfg.image_width, band_h
+        )
+        return color, final_t, overflow
     payload = jnp.pad(
         feats, ((0, PAYLOAD_F - REC_F), (0, chunk))
     )

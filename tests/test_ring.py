@@ -15,6 +15,7 @@ from stopthepop_tpu.config import (
     ExtendedSettings,
     GaussianRasterizationSettings,
     GlobalSortOrder,
+    SortMode,
 )
 from stopthepop_tpu.models.gaussians import init_random
 from stopthepop_tpu.parallel.ring import make_ring_render, make_ring_train_step
@@ -34,9 +35,14 @@ pytestmark = pytest.mark.skipif(
 SIZE = 128
 
 
-def _static(cam, sort_order=GlobalSortOrder.Z_DEPTH):
+def _static(cam, sort_order=GlobalSortOrder.Z_DEPTH,
+            sort_mode=SortMode.GLOBAL, queues=None):
     ext = ExtendedSettings()
     ext.sort_settings.sort_order = sort_order
+    ext.sort_settings.sort_mode = sort_mode
+    if queues is not None:
+        qs = ext.sort_settings.queue_sizes
+        qs.tile_4x4, qs.tile_2x2, qs.per_pixel = queues
     return GaussianRasterizationSettings(
         image_height=SIZE, image_width=SIZE,
         tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
@@ -48,9 +54,10 @@ def _static(cam, sort_order=GlobalSortOrder.Z_DEPTH):
     )
 
 
-def _setup(sort_order=GlobalSortOrder.Z_DEPTH):
+def _setup(sort_order=GlobalSortOrder.Z_DEPTH,
+           sort_mode=SortMode.GLOBAL, queues=None):
     cam = make_camera(SIZE, SIZE, campos=(0.0, 0.0, -4.0))
-    static = _static(cam, sort_order)
+    static = _static(cam, sort_order, sort_mode, queues)
     model = init_random(jax.random.PRNGKey(0), 256)
     cams = CameraArrays(
         cam.viewmatrix, cam.projmatrix, cam.inv_viewprojmatrix, cam.campos
@@ -64,6 +71,34 @@ def _setup(sort_order=GlobalSortOrder.Z_DEPTH):
 )
 def test_ring_render_matches_single_device(sort_order):
     cam, static, model, cams, mesh = _setup(sort_order)
+    ref, *_ = render_model(model, cams, static=static, pair_capacity=8192,
+                           interpret=True)
+
+    render, cfg = make_ring_render(
+        mesh, static=static, per_step_capacity=1024, interpret=True)
+    model_sh = shard_model(model, mesh, axis="shards")
+    img, overflow = render(model_sh, cams)
+    assert img.shape == ref.shape
+    assert not bool(overflow)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "sort_mode,queues",
+    [
+        (SortMode.PPX_KBUFFER, (64, 8, 4)),
+        pytest.param(SortMode.HIER, (16, 8, 4), marks=pytest.mark.slow),
+    ],
+    ids=["kbuffer", "hier"],
+)
+def test_ring_resort_matches_single_device(sort_mode, queues):
+    """The bounded-memory path runs the paper's quality config (PTD +
+    resort window) — the k-window survives shard rotation because the ring
+    delivers the band stream in global sort order (SURVEY §5.7/§7.6)."""
+    cam, static, model, cams, mesh = _setup(
+        GlobalSortOrder.PTD_MAX, sort_mode, queues
+    )
     ref, *_ = render_model(model, cams, static=static, pair_capacity=8192,
                            interpret=True)
 

@@ -160,6 +160,7 @@ def test_tiled_per_tile_depth_orders_match_oracle():
         assert mismatched < 0.02  # near-threshold commit flips only
 
 
+@pytest.mark.slow
 def test_recon_gather_vjp_matches_carried_slot():
     # The slot-reconstruction path (make_segment_gather_recon) must produce
     # the same forward bitwise (lax.sort is stable, so dropping the carried
@@ -220,6 +221,7 @@ def test_recon_gather_vjp_matches_carried_slot():
     )
 
 
+@pytest.mark.slow
 def test_rank_key_sort_bitwise_identical():
     # The packed single-key sort (tile << rank_bits | depth_rank) must be
     # bitwise-identical to the (tile, depth) two-key sort: the rank is a

@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from stopthepop_tpu.config import ExtendedSettings, GaussianRasterizationSettings
@@ -92,6 +93,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_batched_train_step_matches_mean_of_grads():
     from stopthepop_tpu.train.trainer import make_batched_train_step
 
@@ -127,6 +129,7 @@ def test_batched_train_step_matches_mean_of_grads():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_progressive_sh_schedule():
     """sh_ramp_every: bands above the active degree are masked from the
     render and receive zero gradient (the upstream oneupSHdegree schedule);
