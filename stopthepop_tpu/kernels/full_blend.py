@@ -47,6 +47,57 @@ from .kbuffer_blend import (
 
 N_PLANES = 5  # key(d_head), alpha, r, g, b
 
+# Above this size the unrolled network's traced-op count (log^2(n)/2 stages
+# x N_PLANES selects on [n, L] vectors) blows up Mosaic compile time to tens
+# of minutes; the looped form traces ONE stage body and drives (k, s) as
+# loop-carried scalars via dynamic-shift rolls.
+_BITONIC_LOOP_MIN = 256
+
+
+def _bitonic_planes_looped(planes, n, descending=False):
+    """Bitonic sort of the plane list by planes[0], loop-based.
+
+    Same network as _bitonic_planes, expressed as two nested fori_loops
+    (phase p: k = 2^p; inner j: s = 2^(p-1-j)) so the compare-exchange body
+    is traced exactly once. The XOR-partner x[i^s] is materialised as two
+    dynamic-shift pltpu.rolls selected by (i & s) == 0 — Mosaic's dynamic
+    sublane gather spans only one vreg, but rolls have no such limit; the
+    circular wrap never crosses an aligned 2s block for power-of-two n.
+    """
+    L = planes[0].shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, L), 0)
+    log2n = n.bit_length() - 1
+
+    def stage(k, s, planes):
+        keep_lo = (iota & s) == 0
+        asc = (iota & k) == 0
+        if descending:
+            asc = ~asc
+        key = planes[0]
+        kp = jnp.where(
+            keep_lo, pltpu.roll(key, -s, 0), pltpu.roll(key, s, 0)
+        )
+        want_min = ~(asc ^ keep_lo)
+        take = (want_min & (kp < key)) | (~want_min & (kp > key))
+        out = [jnp.where(take, kp, key)]
+        for p in planes[1:]:
+            pp = jnp.where(
+                keep_lo, pltpu.roll(p, -s, 0), pltpu.roll(p, s, 0)
+            )
+            out.append(jnp.where(take, pp, p))
+        return out
+
+    def phase(p, planes):
+        k = jnp.int32(1) << p
+
+        def inner(j, planes):
+            s = jnp.int32(1) << (p - 1 - j)
+            return stage(k, s, planes)
+
+        return jax.lax.fori_loop(0, p, inner, planes)
+
+    return jax.lax.fori_loop(1, log2n + 1, phase, planes)
+
 
 def _bitonic_planes(planes, n, descending=False):
     """Sort the plane list by planes[0] along axis 0, per-lane independent.
@@ -62,7 +113,13 @@ def _bitonic_planes(planes, n, descending=False):
     so the [m, s, L] half-block tensors are collapsed to [m*s, L] before any
     boolean op, and the per-block ascending flag is materialised row-wise
     from a 2D iota instead of a [m, 1, 1] broadcast.
+
+    Large n dispatches to the looped form (see _bitonic_planes_looped):
+    the unrolled network's compile time is quadratic-log in n and crosses
+    from seconds into tens of minutes past a few hundred rows.
     """
+    if n >= _BITONIC_LOOP_MIN:
+        return _bitonic_planes_looped(planes, n, descending)
     L = planes[0].shape[1]
     k = 2
     while k <= n:
@@ -263,5 +320,11 @@ def blend_full_forward(
             (num_tiles, 8, TILE_PIXELS), jnp.float32
         ),
         grid_spec=grid_spec,
+        # The plane scratch is 5 x seg_full x 128 f32 (10.5 MB at 4096) and
+        # each bitonic stage holds a few plane-sized temporaries; the 16 MB
+        # default scoped-vmem budget is too tight above seg_full ~1024.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(starts, counts, bg, cam, payload)
