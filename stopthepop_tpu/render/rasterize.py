@@ -187,7 +187,7 @@ def _rasterize_impl(
     rank_key: bool = False,
     batched_cascade: bool = False,
     tile_shape: tuple = None,
-    interpret: bool = False,
+    interpret="auto",
     full_output: bool = False,
     debug_visualization: DebugVisualization = DebugVisualization.Disabled,
     debug_data=None,
@@ -211,7 +211,13 @@ def _rasterize_impl(
     sort_order = GlobalSortOrder(ext.sort_settings.sort_order)
     P = means3D.shape[0]
     W, H = int(rs.image_width), int(rs.image_height)
-    capacity = pair_capacity or default_pair_capacity(P)
+    if interpret == "auto":
+        # Pallas kernels only execute natively on TPU; on the CPU backend
+        # interpret mode is the sole option, so detect it instead of
+        # making every CPU caller (tests, torch front-end) opt in.
+        interpret = jax.default_backend() != "tpu"
+    capacity = pair_capacity  # None -> resolved after preprocess (eager
+    # calls auto-size exactly; traced calls fall back to the static default)
     # Binning tile override (GLOBAL mode only): 16x16 = reference parity;
     # 32x16 shrinks the pair domain (sorts/gathers) ~35% on TPU.
     from ..constants import TILE_X, TILE_Y
@@ -277,6 +283,22 @@ def _rasterize_impl(
         tile_x=tile_x,
         tile_y=tile_y,
     )
+
+    if capacity is None:
+        if isinstance(prep.tiles_touched, jax.core.Tracer):
+            # Under jit shapes must be static before tracing; use the
+            # default and report undersizing via the overflow flag (pass
+            # pair_capacity / suggest_capacities for exact sizing).
+            capacity = default_pair_capacity(P)
+        else:
+            # Eager call: size the pair buffer from the actual stream —
+            # the static-shape analog of the reference's dynamic resize
+            # after its device scan (rasterizer_impl.cu:316-321). Never
+            # below the default so repeat eager calls on a moving scene
+            # mostly reuse one compiled shape.
+            need = int(jnp.sum(prep.tiles_touched))
+            exact = (int(need * 1.1) + 127) // 128 * 128
+            capacity = max(default_pair_capacity(P), exact)
 
     if means2D is not None and means2D.size:
         # Densification-gradient dummy: value-neutral reroute so that
@@ -387,6 +409,26 @@ def _rasterize_impl(
         raise NotImplementedError(
             f"sort_mode {sort_mode} not yet implemented in the TPU pipeline"
         )
+
+    if rs.debug:
+        # Reference parity: debug=True makes every stage check-and-throw
+        # (CHECK_CUDA, auxiliary.h:246-253). Here the invariant that can
+        # fail silently is pair-buffer overflow (the reference resizes
+        # dynamically; eager calls auto-size above, but traced calls use a
+        # static capacity). One bool host callback, opt-in, off the bench
+        # hot path.
+        def _check_overflow(ovf, cap=capacity):
+            import numpy as np
+
+            if bool(np.asarray(ovf)):
+                raise RuntimeError(
+                    f"pair buffer overflow: the scene emits more than "
+                    f"pair_capacity={cap} (tile, Gaussian) pairs; output "
+                    "is truncated/corrupt. Size with suggest_capacities "
+                    "or raise pair_capacity."
+                )
+
+        jax.debug.callback(_check_overflow, overflow)
 
     viz_mode = DebugVisualization(debug_visualization)
     if rs.render_depth and viz_mode == DebugVisualization.Disabled:

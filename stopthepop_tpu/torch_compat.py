@@ -149,6 +149,57 @@ def _make_fns(static_key: str, present: tuple, impl_items: tuple):
     return fwd, jax.jit(vjp_run)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_pair_probe(static_key: str):
+    """Jitted P-domain pair-count probe for one static configuration.
+
+    The torch layer always has concrete tensors, so it can size the pair
+    buffer from the actual stream — the analog of the reference's dynamic
+    resize after its device scan (rasterizer_impl.cu:316-321). Only the
+    cheap preprocess runs; the result picks a geometrically-bucketed
+    capacity so the render jit cache stays small."""
+    from .render.preprocess import preprocess as _pre
+
+    static = json.loads(static_key)
+    ext = ExtendedSettings.from_dict(static["settings"])
+    order = GlobalSortOrder(ext.sort_settings.sort_order)
+    cull = ext.culling_settings
+
+    def count(diff, mats):
+        prep = _pre(
+            diff["means3D"], diff["opacities"],
+            scales=diff.get("scales"), rotations=diff.get("rotations"),
+            cov3d_precomp=diff.get("cov3Ds_precomp"),
+            colors_precomp=jnp.ones((diff["means3D"].shape[0], 3),
+                                    jnp.float32),
+            scale_modifier=static["scale_modifier"],
+            viewmatrix=mats["viewmatrix"], projmatrix=mats["projmatrix"],
+            campos=mats["campos"], tanfovx=static["tanfovx"],
+            tanfovy=static["tanfovy"],
+            image_width=static["image_width"],
+            image_height=static["image_height"], sh_degree=0,
+            sort_order=order, rect_bounding=cull.rect_bounding,
+            tight_opacity_bounding=cull.tight_opacity_bounding,
+            proper_ewa_scaling=static.get("proper_ewa_scaling", False),
+        )
+        return jnp.sum(prep.tiles_touched)
+
+    return jax.jit(count)
+
+
+def _bucket_capacity(need: int, P: int) -> int:
+    """Static capacity covering ``need`` pairs: default floor, then
+    next power of two above 1.1x need (bounds distinct jit shapes at
+    O(log need) for a whole training run)."""
+    from .render.rasterize import default_pair_capacity
+
+    cap = default_pair_capacity(P)
+    want = int(need * 1.1) + 1
+    while cap < want:
+        cap *= 2
+    return cap
+
+
 def _static_key(rs: GaussianRasterizationSettings) -> str:
     return json.dumps(
         {
@@ -197,15 +248,30 @@ class _RasterizeGaussians(torch.autograd.Function):
             "campos": _to_jnp(raster_settings.campos),
         }
         key = _static_key(raster_settings)
-        fwd, vjp = _make_fns(key, tuple(sorted(diff)), impl_items)
+
+        def _run():
+            items = impl_items
+            if not any(k == "pair_capacity" for k, _ in items):
+                # Size the pair buffer from the actual stream (reference
+                # behavior: dynamic resize, rasterizer_impl.cu:316-321);
+                # bucketed so jit shapes stay few.
+                need = int(_make_pair_probe(key)(diff, mats))
+                items = items + (
+                    ("pair_capacity",
+                     _bucket_capacity(need, diff["means3D"].shape[0])),
+                )
+            fwd, vjp = _make_fns(key, tuple(sorted(diff)), items)
+            color, radii = fwd(diff, mats)
+            return vjp, color, radii
+
         if raster_settings.debug:
             try:
-                color, radii = fwd(diff, mats)
+                vjp, color, radii = _run()
             except Exception:
                 _dump_snapshot("fw", torch_args, raster_settings)
                 raise
         else:
-            color, radii = fwd(diff, mats)
+            vjp, color, radii = _run()
         ctx.stp = (vjp, diff, mats, raster_settings.debug, torch_args,
                    raster_settings)
         return _to_torch(color), _to_torch(radii)

@@ -127,3 +127,43 @@ def test_suggest_capacities_sizes_a_clean_render():
     assert not bool(out.overflow)
     assert not bool(out.grad_overflow)
     assert bool(jnp.isfinite(out.color).all())
+
+
+def test_eager_autosize_beats_default_capacity_overflow():
+    """Two wide Gaussians emit more pairs than the 16*P static default; an
+    eager call must auto-size from the actual stream (the reference resizes
+    dynamically after its device scan, rasterizer_impl.cu:316-321) instead
+    of silently truncating the pair buffer. Regression: round-3 verify
+    found the default API path returning a corrupt blend here."""
+    cam = make_camera(128, 128, campos=(0.0, 0.0, -4.0))
+    rs = GaussianRasterizationSettings(
+        image_height=128, image_width=128, tanfovx=cam.tanfovx,
+        tanfovy=cam.tanfovy, bg=jnp.full((3,), 0.25), scale_modifier=1.0,
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+        inv_viewprojmatrix=cam.inv_viewprojmatrix, sh_degree=0,
+        campos=cam.campos, prefiltered=False, settings=ExtendedSettings(),
+    )
+    # red farther (view depth 4.5), green nearer (3.5), both over the center
+    m = jnp.array([[0.0, 0.0, 0.5], [0.05, 0.0, -0.5]])
+    c = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    o = jnp.array([[0.9], [0.9]])
+    sc = jnp.full((2, 3), 0.3)
+    q = jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (2, 1))
+    out = rasterize_gaussians(
+        m, None, None, c, o, sc, q, None, rs,
+        interpret=True, full_output=True,
+    )
+    assert not bool(out.overflow), "eager call must auto-size"
+    center = out.color[:, 64, 64]
+    # nearer green dominates; the farther red still contributes ~ a*(1-a)
+    assert float(center[1]) > 0.8
+    assert 0.05 < float(center[0]) < 0.2
+    # debug=True + explicit undersized capacity -> loud failure, not garbage
+    rs_dbg = rs._replace(debug=True)
+    with pytest.raises(Exception, match="pair buffer overflow"):
+        jax.block_until_ready(
+            rasterize_gaussians(
+                m, None, None, c, o, sc, q, None, rs_dbg,
+                pair_capacity=128 // 4, interpret=True,
+            )[0]
+        )
