@@ -42,6 +42,10 @@ run bench_bf16 1800 env STP_BENCH_BF16=1 python bench.py
 run bench_rankkey 1800 env STP_BENCH_RANKKEY=1 python bench.py
 run bench_combo 1800 env STP_BENCH_TILE=32x16 STP_BENCH_BF16=1 STP_BENCH_RANKKEY=1 python bench.py
 
+# 1c. training-quality gate for the winners (must PASS before they become
+# defaults — VERDICT r2 #5)
+run quality_defaults 3600 python benchmarks/quality_defaults.py
+
 # 2. sort design decision data (profiler device durations, not wall-clock)
 run sort_micro 1800 python benchmarks/sort_micro.py --n 3240000
 
@@ -75,3 +79,10 @@ run prof_hier_u4 1800 env STP_HIER_UNROLL=4 python benchmarks/profile_step.py $P
 run prof_hier_u8 1800 env STP_HIER_UNROLL=8 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
 
 echo "SWEEP COMPLETE $(date)"
+
+# 7. grouped-tile kbuffer fwd (lane axis = G x 256): Mosaic-compile + A/B
+run prof_kbuf_g4_fwd 1800 env STP_KB_GROUP=4 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --fwd-only --top 12
+run prof_kbuf_g8_fwd 1800 env STP_KB_GROUP=8 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --fwd-only --top 12
+run prof_kbuf_g2_fwd 1800 env STP_KB_GROUP=2 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --fwd-only --top 12
+
+echo "SWEEP EXTRAS COMPLETE $(date)"

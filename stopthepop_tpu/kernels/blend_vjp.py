@@ -69,7 +69,7 @@ def make_blend_global(grid_x: int, grid_y: int, chunk: int, interpret: bool,
 @functools.lru_cache(maxsize=None)
 def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
                        height: int, chunk: int, seg_cap: int,
-                       interpret: bool):
+                       interpret: bool, group: int = None):
     """Differentiable k-buffer blend for one static config.
 
     Gradients flow to the payload's blendable rows (xy, conic, opacity, rgb)
@@ -79,12 +79,19 @@ def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
     """
     from .kbuffer_blend import blend_kbuffer_backward, blend_kbuffer_forward
 
+    # Tiles blended per grid step (lane axis = group x 256): amortizes the
+    # sequential window loop's instruction issue across count-matched tiles.
+    if group is None:
+        import os
+
+        group = int(os.environ.get("STP_KB_GROUP", "1"))
+
     @jax.custom_vjp
     def blend(payload, starts, counts, bg, cam):
         return blend_kbuffer_forward(
             payload, starts, counts, bg, cam,
             grid_x=grid_x, grid_y=grid_y, k=k, width=width, height=height,
-            chunk=chunk, interpret=interpret,
+            chunk=chunk, group=group, interpret=interpret,
         )
 
     def blend_fwd(payload, starts, counts, bg, cam):

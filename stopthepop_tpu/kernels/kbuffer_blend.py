@@ -137,11 +137,11 @@ def _pop_blend(win, state, popm):
 
 
 def _insert(win, fill, v, new):
-    """Sorted-insert ``new`` (dict of [1, 256]) where ``v``. Returns win, fill."""
-    K = win["d"].shape[0]
+    """Sorted-insert ``new`` (dict of [1, L]) where ``v``. Returns win, fill."""
+    K, L = win["d"].shape
     pos = jnp.sum((win["d"] <= new["d"]).astype(jnp.int32), axis=0,
                   keepdims=True)
-    ik = jax.lax.broadcasted_iota(jnp.int32, (K, TILE_PIXELS), 0)
+    ik = jax.lax.broadcasted_iota(jnp.int32, (K, L), 0)
 
     def ins(x, nv):
         shifted = jnp.concatenate([x[:1], x[:-1]], axis=0)
@@ -156,36 +156,65 @@ _WIN_FWD = ("d", "a", "r", "g", "b")
 
 
 def _fwd_kernel(
-    starts_ref, counts_ref, bg_ref, cam_ref,  # scalar prefetch (SMEM)
+    starts_ref, counts_ref, order_ref, bg_ref, cam_ref,  # scalar prefetch
     payload_ref,                              # HBM [32, C_pad]
-    out_ref,                                  # VMEM block [1, 8, 256]
-    buf, ad_scr, sems,                        # scratch: [2, 32, CH], [5, CH, 256], 2 sems
+    out_ref,                                  # VMEM block [G, 8, 256]
+    buf, ad_scr, sems,                        # scratch (see grid_spec)
     *, k: int, chunk: int, grid_x: int, width: int, height: int,
+    group: int,
 ):
+    """One grid step blends ``group`` tiles: window/state arrays put the
+    G x 256 pixels on the lane axis, so every op of the sequential per-pair
+    loop serves G tiles at once (the loop is instruction-issue-bound — its
+    [k, 256] operands are only 4 vregs wide — and HBM traffic is ~free, so
+    widening the lanes is a near-linear speedup). ``starts``/``counts``
+    arrive permuted by descending pair count (the wrapper pairs similar
+    tiles so the shared round loop wastes little on imbalance);
+    ``order_ref`` holds the original tile id for pixel coordinates."""
     t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
-    rounds = pl.cdiv(count, chunk)
-    tx = t % grid_x
-    ty = t // grid_x
-    pixf_x, pixf_y = _tile_pixels_sublanes(tx, ty)
-    vd = _view_rays(cam_ref, pixf_x, pixf_y, width, height)
+    L = group * TILE_PIXELS
+    starts = [starts_ref[t * group + j] for j in range(group)]
+    counts = [counts_ref[t * group + j] for j in range(group)]
+    rounds_j = [pl.cdiv(c, chunk) for c in counts]
+    rounds = rounds_j[0]
+    for r in rounds_j[1:]:
+        rounds = jnp.maximum(rounds, r)
+    pix = []   # per sub-tile ([256,1] pixf_x, pixf_y, view rays)
+    for j in range(group):
+        tid = order_ref[t * group + j]
+        tx = tid % grid_x
+        ty = tid // grid_x
+        pixf_x, pixf_y = _tile_pixels_sublanes(tx, ty)
+        vd = _view_rays(cam_ref, pixf_x, pixf_y, width, height)
+        pix.append((pixf_x, pixf_y, vd))
 
-    def get_dma(slot, kk):
-        offset = pl.multiple_of(start + kk * chunk, chunk)
+    def get_dma(slot, j, kk):
+        offset = pl.multiple_of(starts[j] + kk * chunk, chunk)
         return pltpu.make_async_copy(
-            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot],
-            sems.at[slot],
+            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot, j],
+            sems.at[slot, j],
         )
+
+    def start_round(slot, kk):
+        for j in range(group):
+            @pl.when(kk < rounds_j[j])
+            def _(j=j):
+                get_dma(slot, j, kk).start()
+
+    def wait_round(slot, kk):
+        for j in range(group):
+            @pl.when(kk < rounds_j[j])
+            def _(j=j):
+                get_dma(slot, j, kk).wait()
 
     @pl.when(rounds > 0)
     def _():
-        get_dma(0, 0).start()
+        start_round(0, 0)
 
     def consume(j, carry):
         win, state = carry
         # One dynamic-offset load for the whole entry (5 rows), not five.
-        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [5, 256]
+        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [5, L]
         a_j = row[0:1]
         v = a_j > 0.0
         popm = (state[0] == k) & v
@@ -205,19 +234,26 @@ def _fwd_kernel(
 
         @pl.when(kk + 1 < rounds)
         def _():
-            get_dma((kk + 1) % 2, kk + 1).start()
+            start_round((kk + 1) % 2, kk + 1)
 
-        get_dma(slot, kk).wait()
-        data = buf[slot]
-        a_all, depth = _chunk_alpha_depth(
-            data, pixf_x, pixf_y, vd, count - kk * chunk
-        )
-        ad_scr[0] = a_all.T  # -> [CH, 256] pixels-on-lanes for the window loop
-        ad_scr[1] = depth.T
-        for c in range(3):
-            ad_scr[2 + c] = jnp.broadcast_to(
-                data[6 + c:7 + c, :].T, (chunk, TILE_PIXELS)
+        wait_round(slot, kk)
+        for j in range(group):
+            # Finished sub-tiles keep stale buffers; count_rem <= 0 masks
+            # every pair's alpha to zero, so they idle through the round.
+            data = buf[slot, j]
+            pixf_x, pixf_y, vd = pix[j]
+            a_all, depth = _chunk_alpha_depth(
+                data, pixf_x, pixf_y, vd, counts[j] - kk * chunk
             )
+            lo = j * TILE_PIXELS
+            hi = lo + TILE_PIXELS
+            ad_scr[0, :, lo:hi] = a_all.T  # pixels-on-lanes
+            ad_scr[1, :, lo:hi] = depth.T
+            for c in range(3):
+                ad_scr[2 + c, :, lo:hi] = jnp.broadcast_to(
+                    data[6 + c:7 + c, :].T, (chunk, TILE_PIXELS)
+                )
+
         def quad(q, c):
             return jax.lax.fori_loop(
                 0, 4, lambda j, cc: consume(q * 4 + j, cc), c, unroll=4
@@ -225,17 +261,17 @@ def _fwd_kernel(
 
         return jax.lax.fori_loop(0, chunk // 4, quad, carry)
 
-    ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
-    zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
+    ones = jnp.ones((1, L), jnp.float32)
+    zeros = jnp.zeros((1, L), jnp.float32)
     win0 = {
-        "d": jnp.full((k, TILE_PIXELS), jnp.inf),
-        "a": jnp.zeros((k, TILE_PIXELS)),
-        "r": jnp.zeros((k, TILE_PIXELS)),
-        "g": jnp.zeros((k, TILE_PIXELS)),
-        "b": jnp.zeros((k, TILE_PIXELS)),
+        "d": jnp.full((k, L), jnp.inf),
+        "a": jnp.zeros((k, L)),
+        "r": jnp.zeros((k, L)),
+        "g": jnp.zeros((k, L)),
+        "b": jnp.zeros((k, L)),
     }
     state0 = (
-        jnp.zeros((1, TILE_PIXELS), jnp.int32),  # fill
+        jnp.zeros((1, L), jnp.int32),            # fill
         ones,                                    # T
         zeros, zeros, zeros,                     # C r/g/b
         zeros,                                   # n_contrib
@@ -263,7 +299,7 @@ def _fwd_kernel(
 
     @pl.when(k_end < rounds)
     def _():
-        get_dma(k_end % 2, k_end).wait()
+        wait_round(k_end % 2, k_end)
 
     def drain(_, carry):
         win, state = carry
@@ -273,7 +309,7 @@ def _fwd_kernel(
 
     win, state = jax.lax.fori_loop(0, k, drain, (win, state))
     fill, T, Cr, Cg, Cb, nc, done, D = state
-    out_ref[0] = jnp.concatenate(
+    res = jnp.concatenate(
         [
             Cr + T * bg_ref[0],
             Cg + T * bg_ref[1],
@@ -281,9 +317,28 @@ def _fwd_kernel(
             T,
             nc,
             D,
-            jnp.zeros((2, TILE_PIXELS), jnp.float32),
+            jnp.zeros((2, L), jnp.float32),
         ],
         axis=0,
+    )  # [8, L]
+    for j in range(group):
+        out_ref[j] = res[:, j * TILE_PIXELS:(j + 1) * TILE_PIXELS]
+
+
+def group_tiles(counts: jnp.ndarray, group: int):
+    """Plan a count-balanced tile grouping for grouped blend kernels.
+
+    Returns (order_pad [T_pad], starts_sel, counts_sel) index arrays where
+    T_pad = ceil(T / group) * group: tiles sorted by descending pair count
+    (so tiles sharing a grid step have similar stream lengths), padded with
+    zero-count dummies. ``argsort(order_pad)[:T]`` inverts the permutation.
+    """
+    T = counts.shape[0]
+    t_pad = -(-T // group) * group
+    order = jnp.argsort(-counts).astype(jnp.int32)
+    # Dummy ids T..T_pad-1 keep argsort-based inversion clean.
+    return jnp.concatenate(
+        [order, jnp.arange(T, t_pad, dtype=jnp.int32)]
     )
 
 
@@ -300,34 +355,54 @@ def blend_kbuffer_forward(
     width: int,
     height: int,
     chunk: int = 128,
+    group: int = 1,
     interpret: bool = False,
 ):
-    """Run the k-buffer forward blend. Returns packed [T, 8, 256]."""
+    """Run the k-buffer forward blend. Returns packed [T, 8, 256].
+
+    ``group`` > 1 blends that many count-matched tiles per grid step (lane
+    axis G x 256) — same math, ~G x fewer instruction issues for the
+    sequential window loop.
+    """
     num_tiles = grid_x * grid_y
+    t_pad = -(-num_tiles // group) * group
+    if group == 1:
+        order = jnp.arange(num_tiles, dtype=jnp.int32)  # identity: no
+        # balancing needed when each step owns one tile
+        starts_p, counts_p = starts, counts
+    else:
+        order = group_tiles(counts, group)
+        starts_p = jnp.where(order < num_tiles,
+                             starts[jnp.minimum(order, num_tiles - 1)], 0)
+        counts_p = jnp.where(order < num_tiles,
+                             counts[jnp.minimum(order, num_tiles - 1)], 0)
     kernel = functools.partial(
         _fwd_kernel, k=k, chunk=chunk, grid_x=grid_x, width=width,
-        height=height,
+        height=height, group=group,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(num_tiles,),
+        num_scalar_prefetch=5,
+        grid=(t_pad // group,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+            (group, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, KB_PAYLOAD_F, chunk), jnp.float32),
-            pltpu.VMEM((5, chunk, TILE_PIXELS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, group, KB_PAYLOAD_F, chunk), jnp.float32),
+            pltpu.VMEM((5, chunk, group * TILE_PIXELS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, group)),
         ],
     )
-    return pl.pallas_call(
+    packed_p = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, TILE_PIXELS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, 8, TILE_PIXELS), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, counts, bg, cam, payload)
+    )(starts_p, counts_p, order, bg, cam, payload)
+    if group == 1:
+        return packed_p
+    return packed_p[jnp.argsort(order)[:num_tiles]]
 
 
 # ---------------------------------------------------------------------------

@@ -16,6 +16,7 @@ rasterizer_impl.cu:221-413) with TPU-native stages:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -255,7 +256,7 @@ def render_tiled_kbuffer(
     ).astype(jnp.float32)
     blend = make_blend_kbuffer(
         grid_x, grid_y, k, image_width, image_height, chunk, seg_cap,
-        interpret,
+        interpret, group=int(os.environ.get("STP_KB_GROUP", "1")),
     )
     packed = blend(payload, segs.starts, segs.counts, bg, cam)
     color, final_t, n_contrib, depth_acc = unpack_image(

@@ -105,3 +105,32 @@ def test_kbuffer_sort_orders_and_culling_run():
         np.testing.assert_allclose(
             np.asarray(img_t), np.asarray(img_o), atol=5e-5
         )
+
+
+@pytest.mark.parametrize("group", [2, 3])
+def test_kbuffer_grouped_tiles_match_ungrouped(group, monkeypatch):
+    """group > 1 blends count-matched tiles per grid step (lane axis
+    G x 256); the permutation + shared round loop must be value-exact vs
+    the one-tile-per-step kernel, including non-divisible grids (padding
+    with zero-count dummy tiles)."""
+    w, h = 80, 64  # 5 x 4 = 20 tiles: group=3 exercises padding
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(11), 200)
+    prep = _prep(scene, cam)
+    bg = jnp.full((3,), 0.1)
+    cap = int(count_pairs(prep)) + 64
+
+    def run():
+        img, T, nc, _, _ = render_tiled_kbuffer(
+            prep, bg, image_width=w, image_height=h, capacity=cap,
+            campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix, k=4,
+            interpret=True,
+        )
+        return np.asarray(img), np.asarray(T), np.asarray(nc)
+
+    monkeypatch.setenv("STP_KB_GROUP", "1")
+    base = run()
+    monkeypatch.setenv("STP_KB_GROUP", str(group))
+    out = run()
+    for b, o in zip(base, out):
+        np.testing.assert_array_equal(b, o)
