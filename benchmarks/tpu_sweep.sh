@@ -86,3 +86,7 @@ run prof_kbuf_g8_fwd 1800 env STP_KB_GROUP=8 python benchmarks/profile_step.py $
 run prof_kbuf_g2_fwd 1800 env STP_KB_GROUP=2 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --fwd-only --top 12
 
 echo "SWEEP EXTRAS COMPLETE $(date)"
+
+# 8. grouped-tile kbuffer fwd+bwd A/B (after the g-fwd cells pick a winner)
+run prof_kbuf_g4 2400 env STP_KB_GROUP=4 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 12
+run prof_kbuf_g2 2400 env STP_KB_GROUP=2 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 12

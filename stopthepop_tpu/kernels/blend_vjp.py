@@ -103,7 +103,7 @@ def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
         dpay = blend_kbuffer_backward(
             payload, packed, g_packed, starts, counts, bg, cam,
             grid_x=grid_x, grid_y=grid_y, k=k, width=width, height=height,
-            chunk=chunk, seg_cap=seg_cap, interpret=interpret,
+            chunk=chunk, seg_cap=seg_cap, group=group, interpret=interpret,
         )
         # Zero everything the kernel never writes: rows >= 9, columns past
         # the aligned segments, and per-tile suffixes beyond seg_cap.

@@ -491,64 +491,99 @@ def moments_to_grads(dm, feat, cx, cy):
 
 
 def _bwd_kernel(
-    starts_ref, counts_ref, bg_ref, cam_ref,  # scalar prefetch (SMEM)
+    starts_ref, counts_ref, order_ref, bg_ref, cam_ref,  # scalar prefetch
     payload_ref,                              # HBM [32, C_pad]
-    fwd_ref,                                  # VMEM [1, 8, 256] forward packed
-    grad_ref,                                 # VMEM [1, 8, 256] cotangent
+    fwd_ref,                                  # VMEM [G, 8, 256] forward packed
+    grad_ref,                                 # VMEM [G, 8, 256] cotangent
     dpay_ref,                                 # HBM out [32, C_pad]
     buf, ad_scr, stale_scr, dseg, sems, wsem,  # scratch
     *, k: int, chunk: int, seg_cap: int, grid_x: int,
-    width: int, height: int,
+    width: int, height: int, group: int,
 ):
+    """Grouped like _fwd_kernel: window/state/basis arrays carry the G x 256
+    pixels on the lane axis so the sequential replay's VPU work serves G
+    count-matched tiles per instruction. Per-tile state (segment offsets,
+    dseg accumulators, routing matmuls, writeback) stays per-tile: the
+    one-hot routing contracts each tile's 256-pixel lane slice separately
+    (a shared column space would mix tiles' segments)."""
     t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
-    rounds = pl.cdiv(count, chunk)
+    L = group * TILE_PIXELS
+    starts = [starts_ref[t * group + j] for j in range(group)]
+    counts = [counts_ref[t * group + j] for j in range(group)]
+    rounds_j = [pl.cdiv(c, chunk) for c in counts]
+    rounds = rounds_j[0]
+    for r in rounds_j[1:]:
+        rounds = jnp.maximum(rounds, r)
     max_route = seg_cap // chunk
-    tx = t % grid_x
-    ty = t // grid_x
-    pixf_x, pixf_y = _tile_pixels_sublanes(tx, ty)
-    vd = _view_rays(cam_ref, pixf_x, pixf_y, width, height)
-    plx, ply = _tile_pixels_lanes(tx, ty)
+    pix = []
+    cxy = []
+    k1_j, k2_j, KT_j, ctot_j = [], [], [], []
+    for j in range(group):
+        tid = order_ref[t * group + j]
+        tx = tid % grid_x
+        ty = tid // grid_x
+        pixf_x, pixf_y = _tile_pixels_sublanes(tx, ty)
+        vd = _view_rays(cam_ref, pixf_x, pixf_y, width, height)
+        pix.append((pixf_x, pixf_y, vd))
+        plx, ply = _tile_pixels_lanes(tx, ty)
 
-    gp = grad_ref[0]                  # [8, 256]
-    fw = fwd_ref[0]
-    g_r, g_g, g_b = gp[0:1, :], gp[1:2, :], gp[2:3, :]
-    g_T = gp[3:4, :]
-    T_final = fw[3:4, :]
-    KT = (g_r * bg_ref[0] + g_g * bg_ref[1] + g_b * bg_ref[2] + g_T) * T_final
-    # Total committed color-dot-grad (forward output minus background term).
-    ctot_g = (
-        (fw[0:1, :] - T_final * bg_ref[0]) * g_r
-        + (fw[1:2, :] - T_final * bg_ref[1]) * g_g
-        + (fw[2:3, :] - T_final * bg_ref[2]) * g_b
-    )
-
-    # Per-pixel moment basis about the tile center (see moments_to_grads).
-    cx = (tx * TILE_X).astype(jnp.float32) + (TILE_X - 1) / 2.0
-    cy = (ty * TILE_Y).astype(jnp.float32) + (TILE_Y - 1) / 2.0
-    px = plx - cx
-    py = ply - cy
-    k1 = jnp.concatenate(
-        [jnp.ones((1, TILE_PIXELS), jnp.float32), px, py,
-         px * px, px * py, py * py],
-        axis=0,
-    )  # [6, 256] s1 basis
-    k2 = jnp.concatenate([g_r, g_g, g_b], axis=0)  # [3, 256] s2 basis
-    mpad = jnp.zeros((GRAD_ROWS - 9, TILE_PIXELS), jnp.float32)
-
-    dseg[...] = jnp.zeros((GRAD_ROWS, seg_cap), jnp.float32)
-
-    def get_dma(slot, kk):
-        offset = pl.multiple_of(start + kk * chunk, chunk)
-        return pltpu.make_async_copy(
-            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot],
-            sems.at[slot],
+        gp = grad_ref[j]                  # [8, 256]
+        fw = fwd_ref[j]
+        g_r, g_g, g_b = gp[0:1, :], gp[1:2, :], gp[2:3, :]
+        g_T = gp[3:4, :]
+        T_final = fw[3:4, :]
+        KT_j.append(
+            (g_r * bg_ref[0] + g_g * bg_ref[1] + g_b * bg_ref[2] + g_T)
+            * T_final
         )
+        # Total committed color-dot-grad (fwd output minus background term).
+        ctot_j.append(
+            (fw[0:1, :] - T_final * bg_ref[0]) * g_r
+            + (fw[1:2, :] - T_final * bg_ref[1]) * g_g
+            + (fw[2:3, :] - T_final * bg_ref[2]) * g_b
+        )
+        # Per-pixel moment basis about the tile center (moments_to_grads).
+        cx = (tx * TILE_X).astype(jnp.float32) + (TILE_X - 1) / 2.0
+        cy = (ty * TILE_Y).astype(jnp.float32) + (TILE_Y - 1) / 2.0
+        cxy.append((cx, cy))
+        px = plx - cx
+        py = ply - cy
+        k1_j.append(jnp.concatenate(
+            [jnp.ones((1, TILE_PIXELS), jnp.float32), px, py,
+             px * px, px * py, py * py],
+            axis=0,
+        ))  # [6, 256] s1 basis
+        k2_j.append(jnp.concatenate([g_r, g_g, g_b], axis=0))  # [3, 256]
+    KT = jnp.concatenate(KT_j, axis=1)        # [1, L]
+    ctot_g = jnp.concatenate(ctot_j, axis=1)  # [1, L]
+    k1 = jnp.concatenate(k1_j, axis=1)        # [6, L]
+    k2 = jnp.concatenate(k2_j, axis=1)        # [3, L]
+    mpad = jnp.zeros((GRAD_ROWS - 9, L), jnp.float32)
+
+    dseg[...] = jnp.zeros((group, GRAD_ROWS, seg_cap), jnp.float32)
+
+    def get_dma(slot, j, kk):
+        offset = pl.multiple_of(starts[j] + kk * chunk, chunk)
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot, j],
+            sems.at[slot, j],
+        )
+
+    def start_round(slot, kk):
+        for j in range(group):
+            @pl.when(kk < rounds_j[j])
+            def _(j=j):
+                get_dma(slot, j, kk).start()
+
+    def wait_round(slot, kk):
+        for j in range(group):
+            @pl.when(kk < rounds_j[j])
+            def _(j=j):
+                get_dma(slot, j, kk).wait()
 
     @pl.when(rounds > 0)
     def _():
-        get_dma(0, 0).start()
+        start_round(0, 0)
 
     # One-hot matrices are built with the COLUMN index on sublanes and the
     # pixel on lanes, and consumed by a dot_general contracting both
@@ -557,6 +592,9 @@ def _bwd_kernel(
     # earlier formulation), while the broadcast compare is ~free.
     sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * chunk, TILE_PIXELS), 0)
     sub1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_PIXELS), 0)
+
+    def lane(x, j):
+        return x[:, j * TILE_PIXELS:(j + 1) * TILE_PIXELS]
 
     def emit_scalars(state, popm, a0, cdotg):
         """Shared blend-state update: returns (state', commit, w, s1)."""
@@ -580,53 +618,60 @@ def _bwd_kernel(
     def route_slow(s1, w, src, lo, hi):
         """Route moments for srcs in [lo, hi) via per-chunk one-hot matmuls
         (dynamic loop — used only off the hot path: the rare stale pops and
-        the k drain pops)."""
+        the k drain pops). Inputs are [1, L]; each tile's lane slice routes
+        into its own dseg accumulator."""
         moments = jnp.concatenate([s1 * k1, w * k2, mpad], axis=0)
         route = (w > 0.0) & (src >= lo) & (src < hi) & (src < seg_cap)
         chunk_id = jnp.where(route, src // chunk, 0)
-        cmin = jnp.min(jnp.where(route, chunk_id, max_route))
-        cmax = jnp.max(jnp.where(route, chunk_id, -1))
+        for j in range(group):
+            route_j = lane(route, j)
+            cid_j = lane(chunk_id, j)
+            cmin = jnp.min(jnp.where(route_j, cid_j, max_route))
+            cmax = jnp.max(jnp.where(route_j, cid_j, -1))
 
-        def route_chunk(r, _):
-            sel = route & (chunk_id == r)
-            colm = jnp.where(sel, src - r * chunk, -1)  # [1, 256]
-            onehot_t = (colm == sub1).astype(jnp.float32)  # [CH, 256]
-            dchunk = jax.lax.dot_general(
-                moments, onehot_t,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            off = pl.multiple_of(r * chunk, chunk)
-            dseg[:, pl.ds(off, chunk)] += dchunk
-            return 0
+            def route_chunk(r, _, j=j, route_j=route_j, cid_j=cid_j):
+                sel = route_j & (cid_j == r)
+                colm = jnp.where(sel, lane(src, j) - r * chunk, -1)
+                onehot_t = (colm == sub1).astype(jnp.float32)  # [CH, 256]
+                dchunk = jax.lax.dot_general(
+                    lane(moments, j), onehot_t,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                off = pl.multiple_of(r * chunk, chunk)
+                dseg[j, :, pl.ds(off, chunk)] += dchunk
+                return 0
 
-        jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
+            jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
 
     def pop_grads(win, state, popm, route_acc, j, base):
         """Pop + blend + branch-free moment routing.
 
-        Fast path: one unconditional one-hot matmul into the carried
-        [16, 2*chunk] accumulator spanning the previous + current stream
-        chunks (a per-pop data-dependent branch stalls the Mosaic pipeline
-        for ~an order of magnitude more than the matmul costs — measured).
-        Rarer, older sources are staged and routed once per chunk under a
-        single guard. Returns (win, state', route_acc', stale_any).
+        Fast path: one unconditional one-hot matmul PER TILE into the
+        carried [16, 2*chunk] accumulators spanning the previous + current
+        stream chunks (a per-pop data-dependent branch stalls the Mosaic
+        pipeline for ~an order of magnitude more than the matmul costs —
+        measured). Rarer, older sources are staged and routed once per
+        chunk under a single guard.
         """
         a0 = win["a"][0:1]
         cdotg = win["cg"][0:1]
-        src = win["src"][0:1]  # [1, 256] int32 segment-local pair index
+        src = win["src"][0:1]  # [1, L] int32 segment-local pair index
         state, commit, w, s1 = emit_scalars(state, popm, a0, cdotg)
 
         moments = jnp.concatenate([s1 * k1, w * k2, mpad], axis=0)
         lo = (base - chunk)  # window start: previous chunk
         sel = commit & (src >= lo) & (src < base + chunk)
         colm = jnp.where(sel, src - lo, -1)
-        onehot_t = (colm == sub2).astype(jnp.float32)  # [2*CH, 256]
-        route_acc = route_acc + jax.lax.dot_general(
-            moments, onehot_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [16, 2*CH]
+        route_acc = tuple(
+            route_acc[g] + jax.lax.dot_general(
+                lane(moments, g),
+                (lane(colm, g) == sub2).astype(jnp.float32),  # [2*CH, 256]
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for g in range(group)
+        )  # each [16, 2*CH]
 
         stale = commit & (src >= 0) & (src < lo)
         stale_scr[:, pl.ds(j, 1), :] = jnp.stack(
@@ -650,14 +695,14 @@ def _bwd_kernel(
     def consume(j, carry, base):
         win, state, route_acc, stale_any = carry
         # One dynamic-offset load for the whole entry (3 rows), not three.
-        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [3, 256]
+        row = ad_scr[:, pl.ds(j, 1), :][:, 0, :]  # [3, L]
         a_j = row[0:1]
         v = a_j > 0.0
         popm = (state[0] == k) & v
         win, state, route_acc, st = pop_grads(
             win, state, popm, route_acc, j, base
         )
-        srcv = jnp.full((1, TILE_PIXELS), 0, jnp.int32) + (base + j)
+        srcv = jnp.full((1, L), 0, jnp.int32) + (base + j)
         new = {
             "d": row[1:2],
             "a": a_j,
@@ -673,24 +718,31 @@ def _bwd_kernel(
 
         @pl.when(kk + 1 < rounds)
         def _():
-            get_dma((kk + 1) % 2, kk + 1).start()
+            start_round((kk + 1) % 2, kk + 1)
 
-        get_dma(slot, kk).wait()
-        data = buf[slot]
-        a_all, depth = _chunk_alpha_depth(
-            data, pixf_x, pixf_y, vd, count - kk * chunk
-        )
-        ad_scr[0] = a_all.T
-        ad_scr[1] = depth.T
-        # c.g for every (pair, pixel): rank-3 contraction on the MXU.
-        ad_scr[2] = jax.lax.dot_general(
-            data[6:9, :], k2,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [CH, 256]
+        wait_round(slot, kk)
+        for j in range(group):
+            data = buf[slot, j]
+            pixf_x, pixf_y, vd = pix[j]
+            a_all, depth = _chunk_alpha_depth(
+                data, pixf_x, pixf_y, vd, counts[j] - kk * chunk
+            )
+            lo_l = j * TILE_PIXELS
+            hi_l = lo_l + TILE_PIXELS
+            ad_scr[0, :, lo_l:hi_l] = a_all.T
+            ad_scr[1, :, lo_l:hi_l] = depth.T
+            # c.g for every (pair, pixel): rank-3 contraction on the MXU.
+            ad_scr[2, :, lo_l:hi_l] = jax.lax.dot_general(
+                data[6:9, :], k2_j[j],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [CH, 256]
 
         base = kk * chunk
-        racc0 = jnp.zeros((GRAD_ROWS, 2 * chunk), jnp.float32)
+        racc0 = tuple(
+            jnp.zeros((GRAD_ROWS, 2 * chunk), jnp.float32)
+            for _ in range(group)
+        )
 
         def quad(q, c):
             return jax.lax.fori_loop(
@@ -701,20 +753,21 @@ def _bwd_kernel(
 
         win, state, route_acc, stale_any = jax.lax.fori_loop(
             0, chunk // 4, quad,
-            (win, state, racc0, jnp.zeros((1, TILE_PIXELS), jnp.float32)),
+            (win, state, racc0, jnp.zeros((1, L), jnp.float32)),
         )
 
-        # Flush the two-chunk accumulator: its left half is chunk kk-1
+        # Flush the two-chunk accumulators: the left half is chunk kk-1
         # (clamped to 0 at kk=0, where that half is identically zero) and
-        # its right half is chunk kk. Offsets at or past seg_cap are
+        # the right half is chunk kk. Offsets at or past seg_cap are
         # truncation (reported upstream via grad_overflow) — skip them.
-        def flush(off, half):
-            @pl.when(off < seg_cap)
-            def _():
-                dseg[:, pl.ds(pl.multiple_of(off, chunk), chunk)] += half
+        for j in range(group):
+            def flush(off, half, j=j):
+                @pl.when(off < seg_cap)
+                def _():
+                    dseg[j, :, pl.ds(pl.multiple_of(off, chunk), chunk)] += half
 
-        flush(jnp.maximum(kk - 1, 0) * chunk, route_acc[:, 0:chunk])
-        flush(kk * chunk, route_acc[:, chunk:2 * chunk])
+            flush(jnp.maximum(kk - 1, 0) * chunk, route_acc[j][:, 0:chunk])
+            flush(kk * chunk, route_acc[j][:, chunk:2 * chunk])
 
         # Rare: pops whose source predates the two-chunk window — replay
         # their staged scalars through the dynamic routing loop, one guard
@@ -733,16 +786,16 @@ def _bwd_kernel(
 
         return win, state
 
-    ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
-    zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
+    ones = jnp.ones((1, L), jnp.float32)
+    zeros = jnp.zeros((1, L), jnp.float32)
     win0 = {
-        "d": jnp.full((k, TILE_PIXELS), jnp.inf),
-        "a": jnp.zeros((k, TILE_PIXELS)),
-        "cg": jnp.zeros((k, TILE_PIXELS)),
-        "src": jnp.full((k, TILE_PIXELS), -1, jnp.int32),
+        "d": jnp.full((k, L), jnp.inf),
+        "a": jnp.zeros((k, L)),
+        "cg": jnp.zeros((k, L)),
+        "src": jnp.full((k, L), -1, jnp.int32),
     }
     state0 = (
-        jnp.zeros((1, TILE_PIXELS), jnp.int32),  # fill
+        jnp.zeros((1, L), jnp.int32),            # fill
         ones,                                    # T
         zeros,                                   # acc . g
         zeros,                                   # n_contrib (unused)
@@ -766,7 +819,7 @@ def _bwd_kernel(
 
     @pl.when(k_end < rounds)
     def _():
-        get_dma(k_end % 2, k_end).wait()
+        wait_round(k_end % 2, k_end)
 
     def drain(_, carry):
         win, state = carry
@@ -793,37 +846,40 @@ def _bwd_kernel(
     win, state = jax.lax.fori_loop(0, k, drain, (win, state))
 
     # Expand moments -> gradient rows chunk-by-chunk (re-fetching the payload
-    # features double-buffered) and write back to HBM.
-    wb_rounds = jnp.minimum(rounds, max_route)
+    # features double-buffered) and write back to HBM, per tile.
+    for j in range(group):
+        wb_rounds = jnp.minimum(rounds_j[j], max_route)
+        cx, cy = cxy[j]
 
-    @pl.when(wb_rounds > 0)
-    def _():
-        get_dma(0, 0).start()
+        @pl.when(wb_rounds > 0)
+        def _(j=j):
+            get_dma(0, j, 0).start()
 
-    def writeback(r, _):
-        @pl.when(r + 1 < wb_rounds)
-        def _():
-            get_dma((r + 1) % 2, r + 1).start()
+        def writeback(r, _, j=j, wb_rounds=wb_rounds, cx=cx, cy=cy):
+            @pl.when(r + 1 < wb_rounds)
+            def _():
+                get_dma((r + 1) % 2, j, r + 1).start()
 
-        get_dma(r % 2, r).wait()
-        feat = buf[r % 2]  # rows 0..5 = x, y, ca, cb, cc, opw
-        off = pl.multiple_of(r * chunk, chunk)
-        dm = dseg[:, pl.ds(off, chunk)]
-        grads = moments_to_grads(dm, feat, cx, cy)
-        dseg[:, pl.ds(off, chunk)] = jnp.concatenate(
-            [grads, jnp.zeros((GRAD_ROWS - 9, chunk), jnp.float32)], axis=0
-        )
-        dst = pl.multiple_of(start + r * chunk, chunk)
-        cp = pltpu.make_async_copy(
-            dseg.at[:, pl.ds(off, chunk)],
-            dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
-            wsem,
-        )
-        cp.start()
-        cp.wait()
-        return 0
+            get_dma(r % 2, j, r).wait()
+            feat = buf[r % 2, j]  # rows 0..5 = x, y, ca, cb, cc, opw
+            off = pl.multiple_of(r * chunk, chunk)
+            dm = dseg[j, :, pl.ds(off, chunk)]
+            grads = moments_to_grads(dm, feat, cx, cy)
+            dseg[j, :, pl.ds(off, chunk)] = jnp.concatenate(
+                [grads, jnp.zeros((GRAD_ROWS - 9, chunk), jnp.float32)],
+                axis=0,
+            )
+            dst = pl.multiple_of(starts[j] + r * chunk, chunk)
+            cp = pltpu.make_async_copy(
+                dseg.at[j, :, pl.ds(off, chunk)],
+                dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
+                wsem,
+            )
+            cp.start()
+            cp.wait()
+            return 0
 
-    jax.lax.fori_loop(0, wb_rounds, writeback, 0)
+        jax.lax.fori_loop(0, wb_rounds, writeback, 0)
 
 
 def blend_kbuffer_backward(
@@ -842,43 +898,74 @@ def blend_kbuffer_backward(
     height: int,
     chunk: int = 128,
     seg_cap: int = 16384,
+    group: int = 1,
     interpret: bool = False,
 ):
     """Returns d_payload [32, C_pad] (rows 0..8; only segment prefixes of
-    length <= seg_cap are written — zero the rest outside)."""
+    length <= seg_cap are written — zero the rest outside).
+
+    ``group`` > 1 replays that many count-matched tiles per grid step (the
+    forward's lane-widening; see _bwd_kernel). The gradient output is
+    written at segment offsets, so no inverse permutation is needed.
+    """
     num_tiles = grid_x * grid_y
+    t_pad = -(-num_tiles // group) * group
+    if group == 1:
+        order = jnp.arange(num_tiles, dtype=jnp.int32)
+        starts_p, counts_p = starts, counts
+        fwd_p, grad_p = fwd_packed, grad_packed
+    else:
+        order = group_tiles(counts, group)
+        safe = jnp.minimum(order, num_tiles - 1)
+        real = order < num_tiles
+        starts_p = jnp.where(real, starts[safe], 0)
+        counts_p = jnp.where(real, counts[safe], 0)
+        fwd_p = fwd_packed[safe]
+        grad_p = grad_packed[safe]
     kernel = functools.partial(
         _bwd_kernel, k=k, chunk=chunk, seg_cap=seg_cap, grid_x=grid_x,
-        width=width, height=height,
+        width=width, height=height, group=group,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(num_tiles,),
+        num_scalar_prefetch=5,
+        grid=(t_pad // group,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                (group, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                (group, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, KB_PAYLOAD_F, chunk), jnp.float32),
-            pltpu.VMEM((_BWD_STAGE, chunk, TILE_PIXELS), jnp.float32),
-            pltpu.VMEM((3, chunk, TILE_PIXELS), jnp.float32),  # stale stage
-            pltpu.VMEM((GRAD_ROWS, seg_cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, group, KB_PAYLOAD_F, chunk), jnp.float32),
+            pltpu.VMEM((_BWD_STAGE, chunk, group * TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((3, chunk, group * TILE_PIXELS), jnp.float32),  # stale
+            pltpu.VMEM((group, GRAD_ROWS, seg_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, group)),
             pltpu.SemaphoreType.DMA,
         ],
     )
+    params = {}
+    if group > 1:
+        # dseg alone is group x 16 x seg_cap x 4B; lift the default scoped
+        # budget accordingly (physical VMEM bounds group x seg_cap).
+        params["compiler_params"] = pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    else:
+        params["compiler_params"] = pltpu.CompilerParams(
+            has_side_effects=True,
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(payload.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, bg, cam, payload, fwd_packed, grad_packed)
+        **params,
+    )(starts_p, counts_p, order, bg, cam, payload, fwd_p, grad_p)

@@ -134,3 +134,42 @@ def test_kbuffer_grouped_tiles_match_ungrouped(group, monkeypatch):
     out = run()
     for b, o in zip(base, out):
         np.testing.assert_array_equal(b, o)
+
+
+@pytest.mark.parametrize("group", [3])
+def test_kbuffer_grouped_backward_matches_ungrouped(group, monkeypatch):
+    """The grouped replay's per-tile moment routing + writeback must give
+    bit-identical gradients to the one-tile-per-step backward."""
+    from stopthepop_tpu.config import (ExtendedSettings,
+                                       GaussianRasterizationSettings,
+                                       SortMode)
+    from stopthepop_tpu.render import rasterize
+
+    w, h = 80, 64
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(9), 150)
+    ext = ExtendedSettings()
+    ext.sort_settings.sort_mode = SortMode.PPX_KBUFFER
+    ext.sort_settings.queue_sizes.per_pixel = 4
+    rs = GaussianRasterizationSettings(
+        image_height=h, image_width=w, tanfovx=cam.tanfovx,
+        tanfovy=cam.tanfovy, bg=jnp.full((3,), 0.1), scale_modifier=1.0,
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+        inv_viewprojmatrix=cam.inv_viewprojmatrix, sh_degree=3,
+        campos=cam.campos, prefiltered=False, settings=ext,
+    )
+    wts = jax.random.normal(jax.random.PRNGKey(1), (3, h, w))
+
+    def loss(means):
+        img, _ = rasterize.rasterize_gaussians(
+            means, None, scene.shs, None, scene.opacities,
+            scene.scales, scene.rotations, None, rs, interpret=True,
+            pair_capacity=4096,
+        )
+        return jnp.sum(img * wts)
+
+    monkeypatch.setenv("STP_KB_GROUP", "1")
+    g1 = jax.grad(loss)(scene.means3d)
+    monkeypatch.setenv("STP_KB_GROUP", str(group))
+    g3 = jax.grad(loss)(scene.means3d)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))
