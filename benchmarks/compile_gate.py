@@ -106,6 +106,13 @@ def cells(quick: bool):
          {}, True),
         ("FULL tiled seg4096 fwd", dict(mode=F),
          dict(full_mode="tiled", seg_full=4096), False),
+        # Grouped-tile kbuffer (lane axis = G x 256, STP_KB_GROUP analog):
+        # the group is a direct kwarg on the blend factory via env in prod;
+        # here the env var is set around the cell (see main).
+        ("KBUFFER k=16 G=4 fwd+bwd", dict(mode=K, order=PTD, k=16),
+         dict(_env={"STP_KB_GROUP": "4"}), True),
+        ("KBUFFER k=16 G=8 fwd", dict(mode=K, order=PTD, k=16),
+         dict(_env={"STP_KB_GROUP": "8"}), False),
     ]
     return out
 
@@ -131,10 +138,15 @@ def main():
     )
     target = jnp.zeros((3, H, W))
 
+    import os
+
     failures = 0
     for name, skw, rkw, backward in cells(args.quick):
         if args.only and args.only not in name:
             continue
+        env = rkw.pop("_env", {})
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
         static = _static(cam=cam, **skw)
 
         def loss_fn(m):
@@ -158,6 +170,12 @@ def main():
                 "compile_s": round(time.time() - t0, 1),
                 "error": f"{type(exc).__name__}: {exc}"[:400],
             }), flush=True)
+        finally:
+            for kk, vv in saved.items():
+                if vv is None:
+                    os.environ.pop(kk, None)
+                else:
+                    os.environ[kk] = vv
     verdict = "GREEN" if failures == 0 else f"RED ({failures} cells)"
     print(json.dumps({"gate": verdict}), flush=True)
     return 1 if failures else 0

@@ -589,9 +589,13 @@ def _bwd_kernel(
     # pixel on lanes, and consumed by a dot_general contracting both
     # operands' lane axes — a [1, 256] -> [256, 1] transpose of the source
     # row per pop costs ~500 ns on this hardware (measured; it dominated an
-    # earlier formulation), while the broadcast compare is ~free.
-    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * chunk, TILE_PIXELS), 0)
-    sub1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_PIXELS), 0)
+    # earlier formulation), while the broadcast compare is ~free. The iotas
+    # span the full G x 256 lane width: compares must run on offset-0 wide
+    # vectors (Mosaic cannot broadcast a lane-offset slice).
+    sub2w = jax.lax.broadcasted_iota(jnp.int32, (2 * chunk, L), 0)
+    sub1w = jax.lax.broadcasted_iota(jnp.int32, (chunk, L), 0)
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) // TILE_PIXELS
+    block_mask = [lane_q == j for j in range(group)]  # static [1, L] each
 
     def lane(x, j):
         return x[:, j * TILE_PIXELS:(j + 1) * TILE_PIXELS]
@@ -624,17 +628,16 @@ def _bwd_kernel(
         route = (w > 0.0) & (src >= lo) & (src < hi) & (src < seg_cap)
         chunk_id = jnp.where(route, src // chunk, 0)
         for j in range(group):
-            route_j = lane(route, j)
-            cid_j = lane(chunk_id, j)
-            cmin = jnp.min(jnp.where(route_j, cid_j, max_route))
-            cmax = jnp.max(jnp.where(route_j, cid_j, -1))
+            route_j = route & block_mask[j]  # wide, offset-0
+            cmin = jnp.min(jnp.where(route_j, chunk_id, max_route))
+            cmax = jnp.max(jnp.where(route_j, chunk_id, -1))
 
-            def route_chunk(r, _, j=j, route_j=route_j, cid_j=cid_j):
-                sel = route_j & (cid_j == r)
-                colm = jnp.where(sel, lane(src, j) - r * chunk, -1)
-                onehot_t = (colm == sub1).astype(jnp.float32)  # [CH, 256]
+            def route_chunk(r, _, j=j, route_j=route_j):
+                sel = route_j & (chunk_id == r)
+                colm = jnp.where(sel, src - r * chunk, -1)  # wide [1, L]
+                onehot_w = (colm == sub1w).astype(jnp.float32)  # [CH, L]
                 dchunk = jax.lax.dot_general(
-                    lane(moments, j), onehot_t,
+                    lane(moments, j), lane(onehot_w, j),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -663,10 +666,16 @@ def _bwd_kernel(
         lo = (base - chunk)  # window start: previous chunk
         sel = commit & (src >= lo) & (src < base + chunk)
         colm = jnp.where(sel, src - lo, -1)
+        # One FULL-WIDTH compare builds every tile's one-hot at once: Mosaic
+        # cannot broadcast a lane-offset slice (vector.broadcast of a [1,256]
+        # block at offset g*256 fails layout checks), but broadcasting the
+        # offset-0 wide row then slicing the result for the per-tile dots
+        # lowers fine (dot operands get relayouted).
+        onehot_w = (colm == sub2w).astype(jnp.float32)  # [2*CH, L]
         route_acc = tuple(
             route_acc[g] + jax.lax.dot_general(
                 lane(moments, g),
-                (lane(colm, g) == sub2).astype(jnp.float32),  # [2*CH, 256]
+                lane(onehot_w, g),  # [2*CH, 256]
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
