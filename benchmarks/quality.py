@@ -50,16 +50,31 @@ def main():
                     help="48x48/300 Gaussians smoke scale (CPU interpret ok)")
     ap.add_argument("--seg-full", type=int, default=4096,
                     help="full-sort per-tile segment bound")
+    ap.add_argument("--scene", choices=("lego", "overlap"), default="lego",
+                    help="lego: config-2 scale (small splats, near-exact "
+                         "orders); overlap: fewer but LARGE interpenetrating "
+                         "semi-transparent splats — the paper's popping "
+                         "scenario, where GLOBAL visibly misorders and the "
+                         "resort ladder separates")
     args = ap.parse_args()
 
     if args.small:
         width = height = 48
         num_gaussians, scale_shift, capacity = 300, -1.0, 4096
+    elif args.scene == "overlap":
+        width = height = 800
+        num_gaussians, scale_shift, capacity = 20_000, -0.7, 3_000_000
     else:
         width = height = 800
         num_gaussians, scale_shift, capacity = 100_000, -2.0, 1_200_000
 
     cam, model, cams = _scene(width, height, num_gaussians, scale_shift)
+    if args.scene == "overlap" and not args.small:
+        # Soften opacities so deep stacks stay unsaturated: more of each
+        # ray's order matters, which is exactly what stresses the ladder.
+        model = model._replace(
+            opacity_logit=jnp.clip(model.opacity_logit, None, 0.0)
+        )
     interpret = jax.default_backend() != "tpu"
 
     def static_for(mode, order=GlobalSortOrder.Z_DEPTH, k=None, hq=None):
