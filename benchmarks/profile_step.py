@@ -133,7 +133,14 @@ def device_exclusive_totals(trace_dir):
     events = trace.get("traceEvents", [])
     # Device tracks: on TPU the process name looks like "/device:TPU:0";
     # on CPU ops land under "/host:CPU" on "tf_XLA*" executor threads.
+    # A device pid carries SEVERAL sibling threads ("Steps" with the "0"
+    # span, "XLA Modules" with jit_run(...), "XLA Ops" with the real op
+    # spans) whose top-level spans all cover the same wall interval —
+    # summing every track's top level triple-counts the step. Only the
+    # "XLA Ops" thread feeds per-op totals; the module thread (or, absent
+    # one, the ops sum) provides the step total.
     device_pids, xla_tids = set(), set()
+    ops_tids, module_tids = set(), set()
     for e in events:
         if e.get("ph") != "M":
             continue
@@ -141,17 +148,35 @@ def device_exclusive_totals(trace_dir):
         if e.get("name") == "process_name":
             if re.search(r"TPU|device", name, re.I) and "host" not in name.lower():
                 device_pids.add(e.get("pid"))
-        elif e.get("name") == "thread_name" and name.startswith("tf_XLA"):
-            xla_tids.add((e.get("pid"), e.get("tid")))
+        elif e.get("name") == "thread_name":
+            key = (e.get("pid"), e.get("tid"))
+            if name.startswith("tf_XLA"):
+                xla_tids.add(key)
+            if "XLA Ops" in name:
+                ops_tids.add(key)
+            elif "XLA Modules" in name:
+                module_tids.add(key)
     tracks = {}
+    module_us = 0.0
     for e in events:
         if e.get("ph") != "X":
             continue
+        key = (e.get("pid"), e.get("tid"))
         on_device = e.get("pid") in device_pids
-        on_xla_thread = (e.get("pid"), e.get("tid")) in xla_tids
-        if not (on_device or (not device_pids and on_xla_thread)):
+        if on_device and key in module_tids:
+            module_us += float(e.get("dur", 0.0))
             continue
-        tracks.setdefault((e.get("pid"), e.get("tid")), []).append(
+        if device_pids:
+            # Restrict to the op thread when thread names identify one;
+            # otherwise fall back to every device-track span (old traces).
+            if ops_tids:
+                if key not in ops_tids:
+                    continue
+            elif not on_device:
+                continue
+        elif key not in xla_tids:
+            continue
+        tracks.setdefault(key, []).append(
             (float(e.get("ts", 0.0)), float(e.get("dur", 0.0)),
              e.get("name", "?"))
         )
@@ -172,7 +197,7 @@ def device_exclusive_totals(trace_dir):
         while stack:
             _, n, excl = stack.pop()
             totals[n] = totals.get(n, 0.0) + max(excl, 0.0)
-    return totals, top_us
+    return totals, (module_us or top_us)
 
 
 def collect(trace_dir, iters, top):
