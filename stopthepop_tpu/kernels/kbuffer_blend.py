@@ -890,6 +890,29 @@ def _bwd_kernel(
 
         jax.lax.fori_loop(0, wb_rounds, writeback, 0)
 
+        # Segments longer than seg_cap truncate their gradient tail
+        # (reported upstream as grad_overflow); write ZEROS there so the
+        # wrapper needs no per-column segment masking (a searchsorted over
+        # the whole pair domain cost 42 ms/step at config 2 — measured).
+        @pl.when(rounds_j[j] > max_route)
+        def _(j=j, wb_rounds=wb_rounds):
+            dseg[j, :, pl.ds(0, chunk)] = jnp.zeros(
+                (GRAD_ROWS, chunk), jnp.float32
+            )
+
+            def zfill(r, _):
+                dst = pl.multiple_of(starts[j] + r * chunk, chunk)
+                cp = pltpu.make_async_copy(
+                    dseg.at[j, :, pl.ds(0, chunk)],
+                    dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
+                    wsem,
+                )
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(wb_rounds, rounds_j[j], zfill, 0)
+
 
 def blend_kbuffer_backward(
     payload: jnp.ndarray,      # [32, C_pad]

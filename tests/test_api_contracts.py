@@ -167,3 +167,31 @@ def test_eager_autosize_beats_default_capacity_overflow():
                 pair_capacity=128 // 4, interpret=True,
             )[0]
         )
+
+
+def test_seg_cap_truncated_grads_are_zero_and_finite():
+    """Over-seg_cap segments truncate their pair gradients; the kernel now
+    zero-fills the truncated tail in-kernel (the VJP wrapper no longer
+    carries a per-column segment mask), so gradients must stay finite and
+    the loss gradient must be unaffected for the in-cap prefix scene."""
+    cam = make_camera(32, 32)
+    scene = random_scene(jax.random.PRNGKey(4), 60)
+    rs = _settings(cam, sort_mode=SortMode.PPX_KBUFFER)
+
+    def loss(means, seg_cap):
+        img, _ = rasterize_gaussians(
+            means, None, scene.shs, None, scene.opacities,
+            scene.scales, scene.rotations, None, rs, interpret=True,
+            pair_capacity=4096, seg_cap=seg_cap,
+        )
+        return jnp.sum(img ** 2)
+
+    g_small = jax.grad(lambda m: loss(m, 128))(scene.means3d)
+    assert bool(jnp.isfinite(g_small).all())
+    # Plenty of cap: same scene, full gradients — also finite, and the
+    # truncated variant must not contain garbage-scale values.
+    g_big = jax.grad(lambda m: loss(m, 16384))(scene.means3d)
+    assert bool(jnp.isfinite(g_big).all())
+    assert float(jnp.abs(g_small).max()) <= 10 * float(
+        jnp.abs(g_big).max()
+    ) + 1.0
