@@ -1001,6 +1001,7 @@ def _bwd_kernel(
             moments, onehot_t,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         # a0 > 0 skips zero-moment staging (ghost/bubble rows in batched
         # cascade mode have alpha 0 and a meaningless src).
@@ -1052,6 +1053,7 @@ def _bwd_kernel(
                         moments, onehot_t,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     )
                     off = pl.multiple_of(r * chunk, chunk)
                     dseg[:, pl.ds(off, chunk)] += dchunk

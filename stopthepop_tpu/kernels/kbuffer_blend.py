@@ -640,6 +640,7 @@ def _bwd_kernel(
                     lane(moments, j), lane(onehot_w, j),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 off = pl.multiple_of(r * chunk, chunk)
                 dseg[j, :, pl.ds(off, chunk)] += dchunk
@@ -678,6 +679,7 @@ def _bwd_kernel(
                 lane(onehot_w, g),  # [2*CH, 256]
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             for g in range(group)
         )  # each [16, 2*CH]
@@ -745,6 +747,7 @@ def _bwd_kernel(
                 data[6:9, :], k2_j[j],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [CH, 256]
 
         base = kk * chunk

@@ -9,6 +9,7 @@ tensor, which is exactly ``p @ M``).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import NDC_W_EPS, NEAR_Z
@@ -17,14 +18,19 @@ from ..constants import NDC_W_EPS, NEAR_Z
 def transform_point_4x3(p, m):
     """p [..., 3], m [4, 4] -> view-space point [..., 3].
 
-    Reference: auxiliary.h:130-138.
+    Reference: auxiliary.h:130-138. Full f32 precision: TPU matmuls round
+    inputs to bf16 by default, which jitters projected positions by ~0.1 px
+    — a real quality loss (and a 3e-2 image divergence vs CPU). These are
+    K=3 contractions; the extra MXU passes are free at P-domain sizes.
     """
-    return p @ m[:3, :3] + m[3, :3]
+    return jnp.matmul(p, m[:3, :3],
+                      precision=jax.lax.Precision.HIGHEST) + m[3, :3]
 
 
 def transform_point_4x4(p, m):
     """p [..., 3], m [4, 4] -> homogeneous [..., 4]. auxiliary.h:140-149."""
-    return p @ m[:3, :] + m[3, :]
+    return jnp.matmul(p, m[:3, :],
+                      precision=jax.lax.Precision.HIGHEST) + m[3, :]
 
 
 def world2ndc(p_world, viewproj):

@@ -49,6 +49,29 @@ from ..ops.stopthepop import (
 from .preprocess import PreprocessOutput
 
 
+def _i32_to_f32_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Encode non-negative int32 columns as EXACTLY-representable f32.
+
+    Each int column becomes two f32 columns holding its 16-bit halves via
+    CONVERT (values < 2^16 are exact in f32). Never bitcast ints into f32
+    for transport through float-typed tables: small-int bit patterns are
+    denormal floats and TPU gathers/vector ops flush them to zero (this
+    silently zeroed every pair's validity/rect on chip — round 3).
+    [..., k] int32 -> [..., 2k] f32, inverse _f32_exact_to_i32.
+    """
+    hi = (x >> 16).astype(jnp.float32)
+    lo = (x & 0xFFFF).astype(jnp.float32)
+    return jnp.concatenate([hi, lo], axis=-1)
+
+
+def _f32_exact_to_i32(f: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _i32_to_f32_exact: [..., 2k] f32 -> [..., k] int32."""
+    k = f.shape[-1] // 2
+    hi = f[..., :k].astype(jnp.int32)
+    lo = f[..., k:].astype(jnp.int32)
+    return (hi << 16) | lo
+
+
 def rank_expand(offsets_inclusive: jnp.ndarray, capacity: int) -> jnp.ndarray:
     """g[i] = number of offsets <= i, for i in [0, capacity).
 
@@ -196,8 +219,12 @@ def expand_pairs(
     g = jnp.clip(rank_expand(offsets, capacity), 0, P - 1)
 
     # TPU row-gathers run at a fixed rows/second rate regardless of row
-    # width, so ALL per-Gaussian values (ints bitcast to f32) ride in ONE
-    # wide gather instead of one per table.
+    # width, so ALL per-Gaussian values ride in ONE wide gather instead of
+    # one per table. Ints are transported as EXACT f32 CONVERTS of 16-bit
+    # halves — NOT bitcasts: small-int f32 bit patterns are denormals and
+    # the TPU gather/vector path flushes them to zero (observed on-chip:
+    # every pair's validity column read back 0, so whole renders collapsed
+    # to background; round-3 execution gate exists because of this).
     int_cols = [
         jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-1]]),
         prep.rect_min[:, 0],
@@ -211,7 +238,7 @@ def expand_pairs(
         ), "rank keys need a per-Gaussian depth order"
         int_cols.append(rank)
     ni = len(int_cols)
-    int_tab = jnp.stack(int_cols, axis=1)  # [P, ni]
+    int_tab = jnp.stack(int_cols, axis=1)  # [P, ni] (all non-negative)
 
     need_power = tile_based_culling or sort_order == GlobalSortOrder.PTD_MAX
     need_ptd = sort_order in (GlobalSortOrder.PTD_CENTER, GlobalSortOrder.PTD_MAX)
@@ -230,12 +257,10 @@ def expand_pairs(
     if need_ptd:
         f_cols += [prep.cov3d_inv9[:, k] for k in range(9)]
     f_tab = jnp.stack(f_cols, axis=1)  # [P, F]
-    tab = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(int_tab, jnp.float32), f_tab], axis=1
-    )
+    tab = jnp.concatenate([_i32_to_f32_exact(int_tab), f_tab], axis=1)
     tg = tab[g]  # the one big gather
-    ig = jax.lax.bitcast_convert_type(tg[:, :ni], jnp.int32)
-    fg = tg[:, ni:]
+    ig = _f32_exact_to_i32(tg[:, :2 * ni])
+    fg = tg[:, 2 * ni:]
     base, rmin_x, rmin_y, width, gvalid = (ig[:, k] for k in range(5))
     local = i - base
     ty = rmin_y + local // width
@@ -702,7 +727,9 @@ def recon_table_columns(prep: PreprocessOutput):
         | width
     ).astype(jnp.int32)
     cols = jnp.stack([base, packed], axis=1)
-    return jax.lax.bitcast_convert_type(cols, jnp.float32)
+    # Exact-f32 convert transport ([P, 4]: hi halves then lo halves) — see
+    # _i32_to_f32_exact for why bitcasts must not ride float gathers.
+    return _i32_to_f32_exact(cols)
 
 
 @functools.lru_cache(maxsize=None)
@@ -738,7 +765,7 @@ def make_segment_gather_recon(capacity, grid_x, grad_cols=None,
         return table[gauss_id].T
 
     def _slot_from(out_t, s_tile, pair_valid):
-        ints = jax.lax.bitcast_convert_type(out_t[-2:].T, jnp.int32)
+        ints = _f32_exact_to_i32(out_t[-4:].T)
         base, packed = ints[:, 0], ints[:, 1]
         rmin_x = packed >> 20
         rmin_y = (packed >> 10) & 0x3FF

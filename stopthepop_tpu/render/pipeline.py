@@ -58,7 +58,7 @@ def _payload_gather(table, segs: AlignedSegments, capacity=None,
     ``carry_bf16`` opts the backward into bf16-packed cotangent carriers
     (see segment_gather).
 
-    ``recon = (recon_cols [P, 2], s_tile [C], pair_valid [C], grid_x)``
+    ``recon = (recon_cols [P, 4], s_tile [C], pair_valid [C], grid_x)``
     selects the slot-reconstruction VJP (make_segment_gather_recon): the
     forward sort then carries no slot operand; the recon columns join this
     gather (free: row gathers cost per row) and are sliced off the output.
@@ -73,7 +73,7 @@ def _payload_gather(table, segs: AlignedSegments, capacity=None,
         out = make_segment_gather_recon(
             capacity, grid_x, grad_cols, carry_bf16,
         )(table2, segs.gauss_id, s_tile, pair_valid, segs.gauss_offsets)
-        return out[:-2]
+        return out[:-4]
     if segs.orig_slot is not None:
         return segment_gather(
             table, segs.gauss_id, segs.orig_slot, segs.gauss_offsets,

@@ -207,7 +207,7 @@ def test_recon_gather_vjp_matches_carried_slot():
         out = make_segment_gather_recon(cap, gx)(
             t2, segs_r.gauss_id, pairs_r.tile_id, pairs_r.valid,
             segs_r.gauss_offsets,
-        )[:-2]
+        )[:-4]
         return out * jnp.arange(out.shape[1])[None, :]
 
     out_c, vjp_c = jax.vjp(f_carried, table)
