@@ -1,0 +1,73 @@
+#!/bin/bash
+# Round-4 on-chip measurement queue. Unlike round 3's sweep, this one CANNOT
+# skip items silently: every item is registered, and the exit summary prints
+# a PASS/FAIL/MISSING table (VERDICT r3 #2 — "queue drained" means ls
+# results_r4 matches this list).
+#   nohup bash benchmarks/tpu_sweep_r4.sh > /tmp/tpu_sweep_r4.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="${PYTHONPATH:-}:/root/repo"
+OUT=${OUT:-/root/repo/benchmarks/results_r4}
+mkdir -p "$OUT"
+
+ITEMS=()
+run() {  # run <name> <timeout-s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  ITEMS+=("$name")
+  if [ -s "$OUT/$name.log" ] && grep -q "^DONE rc=" "$OUT/$name.log"; then
+    echo "== $name: cached, skip"; return
+  fi
+  echo "== $name: start $(date +%H:%M:%S)"
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "DONE rc=$rc" >> "$OUT/$name.log"
+  echo "== $name: rc=$rc $(date +%H:%M:%S)"
+}
+
+summary() {
+  echo; echo "== QUEUE SUMMARY ($(date)) =="
+  local bad=0
+  for name in "${ITEMS[@]}"; do
+    if [ ! -s "$OUT/$name.log" ]; then
+      echo "MISSING  $name"; bad=1
+    elif grep -q "^DONE rc=0" "$OUT/$name.log"; then
+      echo "ok       $name"
+    else
+      echo "FAILED   $name  ($(grep '^DONE rc=' "$OUT/$name.log" | tail -1))"
+      bad=1
+    fi
+  done
+  [ $bad -eq 0 ] && echo "QUEUE DRAINED: all items ok" \
+                 || echo "QUEUE NOT CLEAN: see FAILED/MISSING above"
+}
+trap summary EXIT
+
+# 0. probe (fail fast if the tunnel is down)
+timeout 120 python -c "import jax; print(jax.devices())" || {
+  echo "tunnel down, abort"; exit 1; }
+
+# 1. CORRECTNESS GATES first (a red gate means nothing below is shippable)
+run verify_hier 3600 python benchmarks/verify_hier_onchip.py
+run gate_full 7200 python benchmarks/compile_gate.py
+
+# 2. the two stale decision points (VERDICT r3 #2)
+run quality_defaults 5400 python benchmarks/quality_defaults.py
+P2="--width 800 --height 800 --gaussians 100000"
+run prof_kbuf_g2_fwd 1800 env STP_KB_GROUP=2 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --fwd-only --top 12
+run prof_kbuf_g4_fwd 1800 env STP_KB_GROUP=4 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --fwd-only --top 12
+run prof_kbuf_g8_fwd 1800 env STP_KB_GROUP=8 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --fwd-only --top 12
+run prof_kbuf_g2 2400 env STP_KB_GROUP=2 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 12
+run prof_kbuf_g4 2400 env STP_KB_GROUP=4 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 12
+
+# 3. the overlap-scene quality ladder (VERDICT r3 #3, three rounds due)
+run quality_overlap 7200 python benchmarks/quality.py --scene overlap
+
+# 4. headline with the new repetition statistics (pre-defaults baseline)
+run bench 2400 python bench.py
+
+# 5. evidence hygiene: regenerate the stale round-3 profiles with the
+# fixed profiler (VERDICT r3 #6)
+run prof_global 1200 python benchmarks/profile_step.py --top 20
+run prof_rankkey 1200 python benchmarks/profile_step.py --rank-key --top 20
+
+echo "SWEEP COMPLETE $(date)"

@@ -1,16 +1,22 @@
-"""On-chip correctness gate for the batched mid/head cascade (run on TPU).
+"""On-chip correctness check for the EXPERIMENTAL batched mid/head cascade.
 
-The batched cascade's oracle (render_hierarchical_naive(batched_cascade=True))
-is proven equal to the sequential cascade oracle on CPU (exact), but the
-Pallas kernel graph is too large for XLA-CPU interpret-mode compilation, so
-kernel-vs-oracle runs here, on the real chip:
+PARKED (round 4): the batched cascade is ~2x slower than the per-entry
+cascade (results_r3/prof_hierb_fwd.log) and its backward kernel no longer
+fits the 16 MiB scoped-VMEM stack (28.7M at compile, results_r4 notes), so
+it is not a production path. The production gate is verify_hier_onchip.py.
 
-  1. forward: batched kernel vs per-entry kernel (same chip, same math)
-     and vs the CPU-eager batched oracle (cross-backend, loose tol);
-  2. backward: VJPs of batched vs per-entry kernels where the forwards
-     agree bitwise (identical pop order => identical gradient events).
+Round-3 post-mortem: this script's original cross-kernel check (batched vs
+per-entry at 5e-5) was INVALID — the two cadences pop entries in different
+orders and blending is order-dependent, so ~5e-2 scene-level divergence
+between them is legitimate. Each cadence must be compared against its OWN
+differentiable CPU oracle (render_hierarchical_naive(batched_cascade=...)),
+which is what this script now does, forward-only:
 
-Exit code 0 = safe to benchmark the batched cascade.
+  1. batched kernel on chip vs batched-cadence CPU oracle;
+  2. per-entry kernel on chip vs sequential-cadence CPU oracle;
+both on the IDENTICAL preprocessed arrays (preprocess numerics excluded).
+
+Exit code 0 = both forwards are faithful to their cadence oracles.
 """
 
 import sys
@@ -47,53 +53,40 @@ def main():
     bg = jnp.array([0.15, 0.05, 0.3])
 
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu), jax.disable_jit():
-        prep_c = _prep(scene, cam)
-        img_oracle, T_oracle, _ = render_hierarchical_naive(
-            prep_c, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
-            queue_sizes=queues, batched_cascade=True,
-        )
-    print("cpu oracle done", flush=True)
+    with jax.default_device(cpu):
+        prep_c = jax.jit(lambda: _prep(scene, cam))()
+        oracle = {}
+        for batched in (True, False):
+            img, _, _ = jax.jit(
+                lambda b=batched: render_hierarchical_naive(
+                    prep_c, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
+                    queue_sizes=queues, batched_cascade=b,
+                )
+            )()
+            oracle[batched] = np.asarray(img)
+    print("cpu oracles done", flush=True)
 
-    prep = _prep(scene, cam)
-    cap = int(count_pairs(prep)) + 128
+    prep = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), prep_c)
+    cap = int(count_pairs(prep_c)) + 128
 
-    def run(batched):
+    ds = {}
+    for batched in (True, False):
         img, T, nc, pairs, _ = render_tiled_hier(
             prep, bg, image_width=w, image_height=h, capacity=cap,
             campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
             queue_sizes=queues, batched_cascade=batched,
         )
         assert not bool(pairs.overflow)
-        return img, T
-
-    img_b, T_b = run(True)
-    print("batched kernel done", flush=True)
-    img_p, T_p = run(False)
-
-    d_bp = float(jnp.abs(img_b - img_p).max())
-    d_bo = float(np.abs(np.asarray(img_b) - np.asarray(img_oracle)).max())
-    print(f"fwd: batched-vs-perentry={d_bp:.3e} batched-vs-cpu-oracle={d_bo:.3e}")
-
-    # Backward: compare VJPs through the two kernels (expected near-equal
-    # when forwards agree; order-coincident pops => same gradient events).
-    def loss(mean2d, batched):
-        p2 = prep._replace(mean2d=mean2d)
-        img, _, _, _, _ = render_tiled_hier(
-            p2, bg, image_width=w, image_height=h, capacity=cap,
-            campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
-            queue_sizes=queues, batched_cascade=batched,
+        ds[batched] = float(
+            np.abs(np.asarray(img) - oracle[batched]).max()
         )
-        return jnp.sum(img * jnp.cos(jnp.arange(img.size).reshape(img.shape)))
+        name = "batched" if batched else "per-entry"
+        print(f"fwd {name}: chip-vs-own-oracle max abs={ds[batched]:.3e}",
+              flush=True)
 
-    g_b = jax.grad(lambda m: loss(m, True))(prep.mean2d)
-    print("batched bwd done", flush=True)
-    g_p = jax.grad(lambda m: loss(m, False))(prep.mean2d)
-    scale = float(jnp.abs(g_p).max()) + 1e-12
-    d_g = float(jnp.abs(g_b - g_p).max()) / scale
-    print(f"bwd: rel max grad diff={d_g:.3e} (scale {scale:.3e})")
-
-    ok = d_bp < 5e-5 and d_bo < 5e-4 and d_g < 5e-3
+    print("bwd: PARKED (batched-cascade backward exceeds scoped VMEM; "
+          "production gradients are gated by verify_hier_onchip.py)")
+    ok = ds[True] < 5e-4 and ds[False] < 5e-4
     print("VERIFY", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

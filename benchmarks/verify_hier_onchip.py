@@ -1,0 +1,127 @@
+"""On-chip correctness gate for the PRODUCTION hierarchical path (VERDICT r4 #1).
+
+Round-3 post-mortem (see PERFORMANCE.md "HIER on-chip verification"): the old
+verify_batched_cascade gate compared the batched-cascade kernel against the
+per-entry kernel at 5e-5 — an invalid check, because the two cadences pop
+entries in different orders and blending is order-dependent (legitimate
+~5e-2 scene-level divergence). This gate verifies the production per-entry
+kernel against ITS OWN cadence's differentiable CPU oracle:
+
+  1. forward: per-entry kernel on chip vs render_hierarchical_naive (CPU,
+     sequential cadence) — same preprocessed arrays on both sides, so a
+     failure is a kernel/lowering failure, not preprocess numerics;
+  2. backward: on-chip VJP wrt mean2d vs the oracle's autodiff gradient,
+     with a NON-DEGENERATE scale assertion (a ~zero gradient means the
+     on-chip path is dead and the relative check would pass vacuously —
+     the round-3 failure mode);
+  3. pair-stream sanity: radii>0 and pair counts printed, asserted nonzero
+     (round 3's 0.88-divergence triple-symptom was an empty pair stream).
+
+Exit code 0 = the production HIER path is trustworthy on the chip.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from stopthepop_tpu.render.duplicate import count_pairs
+from stopthepop_tpu.render.naive import render_hierarchical_naive
+from stopthepop_tpu.render.pipeline import render_tiled_hier
+from stopthepop_tpu.render.preprocess import preprocess
+from stopthepop_tpu.utils.testing import make_camera, random_scene
+
+
+def _prep(scene, cam):
+    return preprocess(
+        scene.means3d, scene.opacities, scales=scene.scales,
+        rotations=scene.rotations, shs=scene.shs,
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+        campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        image_width=cam.width, image_height=cam.height, sh_degree=3,
+    )
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    w = h = 48
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(8), 150)
+    queues = (16, 8, 4)
+    bg = jnp.array([0.15, 0.05, 0.3])
+    weights = np.cos(np.arange(3 * h * w)).reshape(3, h, w).astype(np.float32)
+
+    cpu = jax.devices("cpu")[0]
+    # Forward oracle: the naive renderer, eagerly (jitting it compiles
+    # pathologically slowly at this scale; eager takes ~4 min).
+    with jax.default_device(cpu), jax.disable_jit():
+        prep_c = _prep(scene, cam)
+        img_o, _, _ = render_hierarchical_naive(
+            prep_c, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
+            queue_sizes=queues,
+        )
+    print("cpu fwd oracle done", flush=True)
+
+    # Gradient oracle: the SAME tiled pipeline in CPU interpret mode —
+    # proven equal to the naive oracle's autodiff by the CPU test suite
+    # (tests/test_hierarchical.py::test_hier_grads_match_oracle).
+    cap_c = int(count_pairs(prep_c)) + 128
+    with jax.default_device(cpu):
+        def loss_oracle(mean2d):
+            img, _, _, _, _ = render_tiled_hier(
+                prep_c._replace(mean2d=mean2d), bg, image_width=w,
+                image_height=h, capacity=cap_c,
+                campos=np.asarray(cam.campos),
+                inverse_vp=np.asarray(cam.inv_viewprojmatrix),
+                queue_sizes=queues, interpret=True,
+            )
+            return jnp.sum(img * weights)
+
+        g_o = jax.grad(loss_oracle)(prep_c.mean2d)
+    print("cpu grad oracle done", flush=True)
+
+    # Ship the IDENTICAL preprocessed arrays to the chip.
+    prep = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), prep_c)
+    n_vis = int(np.sum(np.asarray(prep_c.radii) > 0))
+    cap = int(count_pairs(prep_c)) + 128
+    print(f"pair sanity: radii>0={n_vis} pairs~{cap - 128}", flush=True)
+    assert n_vis > 0 and cap > 128, "empty pair stream (round-3 failure mode)"
+
+    img, T, nc, pairs, _ = render_tiled_hier(
+        prep, bg, image_width=w, image_height=h, capacity=cap,
+        campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
+        queue_sizes=queues,
+    )
+    assert not bool(pairs.overflow)
+    d_f = float(np.abs(np.asarray(img) - np.asarray(img_o)).max())
+    ncs = int(jnp.sum(nc))
+    print(f"fwd: chip-vs-oracle max abs={d_f:.3e} n_contrib sum={ncs}", flush=True)
+    assert ncs > 0, "zero contributions on chip"
+
+    def loss(mean2d):
+        img, _, _, _, _ = render_tiled_hier(
+            prep._replace(mean2d=mean2d), bg, image_width=w, image_height=h,
+            capacity=cap, campos=cam.campos,
+            inverse_vp=cam.inv_viewprojmatrix, queue_sizes=queues,
+        )
+        return jnp.sum(img * jnp.asarray(weights))
+
+    g = jax.grad(loss)(prep.mean2d)
+    scale = float(jnp.abs(np.asarray(g_o)).max())
+    grad_alive = scale > 1e-6 and float(jnp.abs(g).max()) > 1e-6
+    d_g = float(np.abs(np.asarray(g) - np.asarray(g_o)).max()) / (scale + 1e-12)
+    print(f"bwd: rel max grad diff={d_g:.3e} (oracle scale {scale:.3e}, "
+          f"chip max|g|={float(jnp.abs(g).max()):.3e})", flush=True)
+    if not grad_alive:
+        print("bwd: DEGENERATE — a gradient side is ~zero")
+
+    ok = d_f < 5e-4 and d_g < 5e-3 and grad_alive
+    print("VERIFY", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
