@@ -113,6 +113,12 @@ def cells(quick: bool):
          dict(_env={"STP_KB_GROUP": "4"}), True),
         ("KBUFFER k=16 G=8 fwd", dict(mode=K, order=PTD, k=16),
          dict(_env={"STP_KB_GROUP": "8"}), False),
+        # Grouped-tile hierarchical (round 4: the kbuffer lane widening
+        # ported to the cascade, hier_blend._fwd_kernel group param).
+        ("HIER 64/8/4 G=4 fwd+bwd", dict(mode=HI, order=PTD, hq=(64, 8, 4)),
+         dict(_env={"STP_HIER_GROUP": "4"}), True),
+        ("HIER 16/8/4 G=2 fwd", dict(mode=HI, order=PTD, hq=(16, 8, 4)),
+         dict(_env={"STP_HIER_GROUP": "2"}), False),
     ]
     return out
 

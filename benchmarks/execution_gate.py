@@ -95,6 +95,8 @@ def cells():
          {"STP_KB_GROUP": "4"}, True),
         ("HIER 16/8/4", dict(mode=HI, order=PTD, hq=(16, 8, 4)), {}, {},
          True),
+        ("HIER 16/8/4 G=3", dict(mode=HI, order=PTD, hq=(16, 8, 4)), {},
+         {"STP_HIER_GROUP": "3"}, True),
         # bcasc's reference is the (gated) TPU per-entry kernel: its CPU
         # interpret graph is too large to compile (the reason
         # verify_batched_cascade.py exists).

@@ -43,7 +43,7 @@ def build_step(args):
     interpret = jax.default_backend() != "tpu"
     cam = make_camera(width, height, campos=(0.0, 0.0, -4.0))
     model = init_random(jax.random.PRNGKey(0), args.gaussians, extent=1.5)
-    model = model._replace(scales_log=model.scales_log - 2.3)
+    model = model._replace(scales_log=model.scales_log + args.scale_shift)
     cams = CameraArrays(
         cam.viewmatrix, cam.projmatrix, cam.inv_viewprojmatrix, cam.campos
     )
@@ -220,6 +220,10 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--gaussians", type=int, default=500_000)
+    ap.add_argument("--scale-shift", type=float, default=-2.3,
+                    help="log-scale shift for the random scene (run.py's "
+                         "config 3 at 5M uses -3.3 to keep the pair stream "
+                         "in a real capture's regime)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--tile", default="16x16")
     ap.add_argument("--mode", default="GLOBAL",

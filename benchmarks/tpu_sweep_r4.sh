@@ -50,6 +50,16 @@ timeout 120 python -c "import jax; print(jax.devices())" || {
 run verify_hier 3600 python benchmarks/verify_hier_onchip.py
 run gate_full 7200 python benchmarks/compile_gate.py
 
+# 1b. grouped-tile lane widening on HIER (VERDICT r3 #4: fwd <= 151 ms
+# minimum, <= 60 ms target at config 2) — A/B vs the round-3 baseline
+# (183 ms device fwd, 520 ms bwd)
+P2="--width 800 --height 800 --gaussians 100000"
+run prof_hier_fwd 2400 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
+run prof_hier_g2_fwd 2400 env STP_HIER_GROUP=2 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
+run prof_hier_g4_fwd 2400 env STP_HIER_GROUP=4 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
+run prof_hier_g2 3600 env STP_HIER_GROUP=2 python benchmarks/profile_step.py $P2 --mode HIER --top 12
+run prof_hier_g4 3600 env STP_HIER_GROUP=4 python benchmarks/profile_step.py $P2 --mode HIER --top 12
+
 # 2. the two stale decision points (VERDICT r3 #2)
 run quality_defaults 5400 python benchmarks/quality_defaults.py
 P2="--width 800 --height 800 --gaussians 100000"
@@ -62,12 +72,20 @@ run prof_kbuf_g4 2400 env STP_KB_GROUP=4 python benchmarks/profile_step.py $P2 -
 # 3. the overlap-scene quality ladder (VERDICT r3 #3, three rounds due)
 run quality_overlap 7200 python benchmarks/quality.py --scene overlap
 
-# 4. headline with the new repetition statistics (pre-defaults baseline)
+# 4. headline with the new repetition statistics (pre-defaults baseline);
+# run twice back-to-back: VERDICT r3 #5 wants two consecutive runs within 5%
 run bench 2400 python bench.py
+run bench2 2400 python bench.py
 
 # 5. evidence hygiene: regenerate the stale round-3 profiles with the
 # fixed profiler (VERDICT r3 #6)
 run prof_global 1200 python benchmarks/profile_step.py --top 20
 run prof_rankkey 1200 python benchmarks/profile_step.py --rank-key --top 20
+
+# 6. config-3 scale cost structure (VERDICT r3 #7: 5M @ 1080p fwd+bwd
+# >= 5 Mpix/s): where do the 877 ms actually go?
+P5="--width 1920 --height 1080 --gaussians 5000000 --scale-shift -3.3 --iters 3"
+run prof_global_5m_fwd 3600 python benchmarks/profile_step.py $P5 --fwd-only --top 25
+run prof_global_5m 3600 python benchmarks/profile_step.py $P5 --top 25
 
 echo "SWEEP COMPLETE $(date)"

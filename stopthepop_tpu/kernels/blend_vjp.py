@@ -142,13 +142,20 @@ def _zero_unwritten(dpay, counts, chunk):
 def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
                     height: int, hier_4x4_culling: bool, chunk: int,
                     seg_cap: int, interpret: bool,
-                    batched_cascade: bool = False):
+                    batched_cascade: bool = False, group: int = None):
     """Differentiable hierarchical blend for one static config.
 
     Same gradient surface as the k-buffer blend: payload blendable rows + bg;
     depth keys and camera get zero gradient (discrete resort).
+    ``group`` > 1 lane-widens the cascade over count-matched tiles (the
+    k-buffer's grouped-tile scheme, hier_blend._fwd_kernel).
     """
     from .hier_blend import blend_hier_backward, blend_hier_forward
+
+    if group is None:
+        import os
+
+        group = int(os.environ.get("STP_HIER_GROUP", "1"))
 
     @jax.custom_vjp
     def blend(payload, starts, counts, bg, cam):
@@ -156,7 +163,7 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
             payload, starts, counts, bg, cam,
             grid_x=grid_x, grid_y=grid_y, queue_sizes=queue_sizes,
             width=width, height=height, hier_4x4_culling=hier_4x4_culling,
-            chunk=chunk, batched_cascade=batched_cascade,
+            chunk=chunk, batched_cascade=batched_cascade, group=group,
             interpret=interpret,
         )
 
@@ -171,7 +178,8 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
             grid_x=grid_x, grid_y=grid_y, queue_sizes=queue_sizes,
             width=width, height=height, hier_4x4_culling=hier_4x4_culling,
             chunk=chunk, seg_cap=seg_cap,
-            batched_cascade=batched_cascade, interpret=interpret,
+            batched_cascade=batched_cascade, group=group,
+            interpret=interpret,
         )
         dpay = _zero_unwritten(dpay, counts, chunk)
         d_bg = jnp.einsum("tcp,tp->c", g_packed[:, 0:3, :], packed[:, 3, :])

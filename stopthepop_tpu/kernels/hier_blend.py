@@ -47,6 +47,7 @@ from .kbuffer_blend import (
     _tile_pixels_lanes,
     _tile_pixels_sublanes,
     _view_rays,
+    group_tiles,
     moments_to_grads,
 )
 
@@ -213,11 +214,13 @@ def _intake(data, pixf_x, pixf_y, cam_ref, count_rem, width, height,
 def _win_update(scr, num_f, popm, v, new):
     """Fused front-pop + sorted-insert on a windowed scratch ref.
 
-    scr: VMEM ref [num_f, K, 256], row 0 of each field = nearest. popm/v:
-    [1, 256] masks; new: list of num_f [1, 256] rows (new[0] = key).
+    scr: VMEM ref [num_f, K, L], row 0 of each field = nearest. popm/v:
+    [1, L] masks; new: list of num_f [1, L] rows (new[0] = key). L is the
+    lane width (TILE_PIXELS, or group * TILE_PIXELS when lane-widened).
     Returns the popped front entry (read before modification).
     """
     K = scr.shape[1]
+    L = scr.shape[2]
     front = [scr[f, 0:1, :] for f in range(num_f)]
 
     # Key field first: pop-shift, then compute the insert position.
@@ -228,7 +231,7 @@ def _win_update(scr, num_f, popm, v, new):
         key,
     )
     pos = jnp.sum((key1 <= new[0]).astype(jnp.int32), axis=0, keepdims=True)
-    ik = jax.lax.broadcasted_iota(jnp.int32, (K, TILE_PIXELS), 0)
+    ik = jax.lax.broadcasted_iota(jnp.int32, (K, L), 0)
 
     def upd(x, nv, pad):
         x1 = jnp.where(
@@ -386,10 +389,12 @@ def _tail_round(tail, incoming, kt):
     cadence (batcherSort + mergeSortRegToSmem,
     hierarchical_render.cuh:158-192, 24-70).
 
-    incoming: [TAIL_PLANES, B, 128] (planes 1..3 = packed values).
-    Returns the emitted planes [TAIL_PLANES, B, 128], sorted ascending.
+    incoming: [TAIL_PLANES, B, LP] (planes 1..3 = packed values; LP = the
+    packed lane width, 128 per tile). Returns the emitted planes
+    [TAIL_PLANES, B, LP], sorted ascending.
     """
     B = TAIL_BATCH
+    LP = incoming[0].shape[1]
     # Sorted DESCENDING directly (lax.rev has no TPU lowering, so we cannot
     # flip an ascending batch): hold (asc) ++ pads (+inf) ++ incoming (desc)
     # is bitonic.
@@ -403,7 +408,7 @@ def _tail_round(tail, incoming, kt):
         fill = jnp.inf if p == 0 else 0.0
         parts = [tail[p]]
         if pad_rows:
-            parts.append(jnp.full((pad_rows, 128), fill, jnp.float32))
+            parts.append(jnp.full((pad_rows, LP), fill, jnp.float32))
         parts.append(planes_in[p])
         merged.append(jnp.concatenate(parts, axis=0))
     merged = _bitonic_merge(merged, M)
@@ -428,6 +433,7 @@ def _win_round(scr, num_f, incoming, k):
     emission order differs (sorted, i.e. closer to the true resort).
     """
     B = incoming[0].shape[0]
+    L = incoming[0].shape[1]
     planes_in = _bitonic_planes(incoming, B, descending=True)
     M = _next_pow2(k + B)
     pad_rows = M - k - B
@@ -437,7 +443,7 @@ def _win_round(scr, num_f, incoming, k):
         parts = [scr[f]]
         if pad_rows:
             parts.append(
-                jnp.full((pad_rows, TILE_PIXELS), fill, jnp.float32)
+                jnp.full((pad_rows, L), fill, jnp.float32)
             )
         parts.append(planes_in[f])
         merged.append(jnp.concatenate(parts, axis=0))
@@ -511,50 +517,83 @@ def _unpack_batch(emit, vmask):
 
 
 def _fwd_kernel(
-    starts_ref, counts_ref, bg_ref, cam_ref,  # scalar prefetch
+    starts_ref, counts_ref, order_ref, bg_ref, cam_ref,  # scalar prefetch
     payload_ref,                              # HBM [32, C_pad]
-    out_ref,                                  # VMEM [1, 8, 256]
+    out_ref,                                  # VMEM [G, 8, 256]
     buf, ad_scr, tail, mid, head, casc_scr, sems,  # scratch
     *, kt: int, km: int, kh: int, chunk: int, grid_x: int,
     width: int, height: int, hier_4x4_culling: bool,
-    batched_cascade: bool = False,
+    batched_cascade: bool = False, group: int = 1,
 ):
+    """One grid step blends ``group`` tiles: every window/state array puts
+    the G x 256 pixels (G x 128 packed tail lanes) on the lane axis, so the
+    sequential cascade's instruction stream serves G count-matched tiles at
+    once — the same lane widening as the grouped k-buffer kernel
+    (kbuffer_blend._fwd_kernel), applied to the hierarchy. ``starts`` /
+    ``counts`` arrive permuted by descending pair count; ``order_ref`` holds
+    the original tile id for pixel coordinates."""
     t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
-    rounds = pl.cdiv(count, chunk)
-    tx = t % grid_x
-    ty = t // grid_x
+    L = group * TILE_PIXELS
+    LP = group * 128
+    starts = [starts_ref[t * group + j] for j in range(group)]
+    counts = [counts_ref[t * group + j] for j in range(group)]
+    rounds_j = [pl.cdiv(c, chunk) for c in counts]
+    rounds = rounds_j[0]
+    for r in rounds_j[1:]:
+        rounds = jnp.maximum(rounds, r)
+    txy = []
+    plx_j, ply_j = [], []
+    for j in range(group):
+        tid = order_ref[t * group + j]
+        tx = tid % grid_x
+        ty = tid // grid_x
+        txy.append((tx, ty))
+        plxj, plyj = _tile_pixels_lanes(tx, ty)
+        plx_j.append(plxj)
+        ply_j.append(plyj)
+    plx = jnp.concatenate(plx_j, axis=1)  # [1, L]
+    ply = jnp.concatenate(ply_j, axis=1)
 
-    # Reset the persistent window scratch for this tile. The tail hold
-    # starts as -inf "bubbles" (see _tail_round); in batched-cascade mode
-    # the mid/head holds use the same bubble convention (ghosts flow
+    # Reset the persistent window scratch for this step's tiles. The tail
+    # hold starts as -inf "bubbles" (see _tail_round); in batched-cascade
+    # mode the mid/head holds use the same bubble convention (ghosts flow
     # through the cascade with alpha 0 instead of being fill-counted).
-    tail[...] = jnp.zeros((TAIL_PLANES, kt, 128))
-    tail[0] = jnp.full((kt, 128), -jnp.inf)
+    tail[...] = jnp.zeros((TAIL_PLANES, kt, LP))
+    tail[0] = jnp.full((kt, LP), -jnp.inf)
     mhinit = -jnp.inf if batched_cascade else jnp.inf
-    mid[...] = jnp.zeros((MID_F, km, TILE_PIXELS))
-    mid[0] = jnp.full((km, TILE_PIXELS), mhinit)
-    head[...] = jnp.zeros((HEAD_F, kh, TILE_PIXELS))
-    head[0] = jnp.full((kh, TILE_PIXELS), mhinit)
+    mid[...] = jnp.zeros((MID_F, km, L))
+    mid[0] = jnp.full((km, L), mhinit)
+    head[...] = jnp.zeros((HEAD_F, kh, L))
+    head[0] = jnp.full((kh, L), mhinit)
 
     # Per-pixel constants for the pop-time recompute (pixels on lanes).
-    plx, ply = _tile_pixels_lanes(tx, ty)
     vdh = _view_rays(cam_ref, plx, ply, width, height)
     qd_x = jnp.floor(plx / 2.0) * 2.0 + 0.5
     qd_y = jnp.floor(ply / 2.0) * 2.0 + 0.5
     vdm = _view_rays(cam_ref, qd_x, qd_y, width, height)
 
-    def get_dma(slot, kk):
-        offset = pl.multiple_of(start + kk * chunk, chunk)
+    def get_dma(slot, j, kk):
+        offset = pl.multiple_of(starts[j] + kk * chunk, chunk)
         return pltpu.make_async_copy(
-            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot],
-            sems.at[slot],
+            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot, j],
+            sems.at[slot, j],
         )
+
+    def start_round(slot, kk):
+        for j in range(group):
+            @pl.when(kk < rounds_j[j])
+            def _(j=j):
+                get_dma(slot, j, kk).start()
+
+    def wait_round(slot, kk):
+        for j in range(group):
+            @pl.when(kk < rounds_j[j])
+            def _(j=j):
+                get_dma(slot, j, kk).wait()
 
     @pl.when(rounds > 0)
     def _():
-        get_dma(0, 0).start()
+        start_round(0, 0)
 
     def push_head(state, fh, pop_m, e_m):
         # e_m rows: key(d_mid), d_head, a, r, g, b
@@ -590,7 +629,7 @@ def _fwd_kernel(
             head, HEAD_F, [key_h, emit_m[2], emit_m[3], emit_m[4],
                            emit_m[5]], kh,
         )
-        true_m = jnp.ones((1, TILE_PIXELS), bool)
+        true_m = jnp.ones((1, L), bool)
         for j in range(CASC_BATCH):
             d0 = emit_h[0][j:j + 1]
             state, _, _ = _blend_one(
@@ -620,7 +659,22 @@ def _fwd_kernel(
         unpack/recompute and the per-entry mid/head cascade."""
         emit = _tail_round(tail, incoming, kt)
         vmask = jnp.isfinite(emit[0])  # ghosts (-inf) and drain pads (+inf)
-        sc, _, v_wide = _unpack_batch(emit, vmask)
+        if group == 1:
+            sc, _, v_wide = _unpack_batch(emit, vmask)
+        else:
+            # Per-tile unpack (the lane gathers address within a tile's
+            # 128-lane packed block), concatenated back to full width.
+            parts = []
+            for j in range(group):
+                sl = slice(j * 128, (j + 1) * 128)
+                parts.append(
+                    _unpack_batch([e[:, sl] for e in emit], vmask[:, sl])
+                )
+            sc = [
+                jnp.concatenate([p[0][i] for p in parts], axis=1)
+                for i in range(18)
+            ]
+            v_wide = jnp.concatenate([p[2] for p in parts], axis=1)
         # sc: 0 x | 1 y | 2 ca | 3 cb | 4 cc | 5 opw | 6 r | 7 g | 8 b |
         #     9..14 inv-cov | 15 u0 | 16 u1 | 17 u2 — all [B, 256], so the
         # recompute runs at full sublane occupancy for the whole batch.
@@ -671,15 +725,19 @@ def _fwd_kernel(
 
         @pl.when(kk + 1 < rounds)
         def _():
-            get_dma((kk + 1) % 2, kk + 1).start()
+            start_round((kk + 1) % 2, kk + 1)
 
-        get_dma(slot, kk).wait()
-        rows = _intake_packed(
-            buf[slot], cam_ref, tx, ty, count - kk * chunk, width, height,
-            hier_4x4_culling,
-        )
-        for i, r in enumerate(rows):
-            ad_scr[i] = r
+        wait_round(slot, kk)
+        for j in range(group):
+            # Finished sub-tiles keep stale buffers; count_rem <= 0 makes
+            # every packed entry a -inf ghost, so they idle through.
+            txj, tyj = txy[j]
+            rows = _intake_packed(
+                buf[slot, j], cam_ref, txj, tyj, counts[j] - kk * chunk,
+                width, height, hier_4x4_culling,
+            )
+            for i, r in enumerate(rows):
+                ad_scr[i, :, j * 128:(j + 1) * 128] = r
 
         for half in range(chunk // TAIL_BATCH):
             incoming = [
@@ -689,9 +747,9 @@ def _fwd_kernel(
             carry = tail_and_cascade(incoming, carry)
         return carry
 
-    ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
-    zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
-    zi = jnp.zeros((1, TILE_PIXELS), jnp.int32)
+    ones = jnp.ones((1, L), jnp.float32)
+    zeros = jnp.zeros((1, L), jnp.float32)
+    zi = jnp.zeros((1, L), jnp.int32)
     state0 = (ones, zeros, zeros, zeros, zeros, zeros, zeros)
 
     # Round-level early termination (exact: commits are gated on the done
@@ -711,13 +769,13 @@ def _fwd_kernel(
 
     @pl.when(k_end < rounds)
     def _():
-        get_dma(k_end % 2, k_end).wait()
+        wait_round(k_end % 2, k_end)
 
-    inf_new_m = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (MID_F - 1)
+    inf_new_m = [jnp.full((1, L), jnp.inf)] + [zeros] * (MID_F - 1)
 
     # Tail drain: +inf incoming pads push every held real entry out.
     drain_in = [
-        jnp.full((TAIL_BATCH, 128), jnp.inf if p == 0 else 0.0, jnp.float32)
+        jnp.full((TAIL_BATCH, LP), jnp.inf if p == 0 else 0.0, jnp.float32)
         for p in range(TAIL_PLANES)
     ]
     for _ in range(-(-kt // TAIL_BATCH)):
@@ -728,13 +786,13 @@ def _fwd_kernel(
         # through the head; then blend the head hold in place (ascending:
         # -inf bubbles and +inf pads carry alpha 0).
         drain_m = (
-            [jnp.full((CASC_BATCH, TILE_PIXELS), jnp.inf, jnp.float32)]
-            + [jnp.zeros((CASC_BATCH, TILE_PIXELS), jnp.float32)]
+            [jnp.full((CASC_BATCH, L), jnp.inf, jnp.float32)]
+            + [jnp.zeros((CASC_BATCH, L), jnp.float32)]
             * (MID_F - 1)
         )
         for _ in range(-(-km // CASC_BATCH)):
             state = _cascade_rounds(state, drain_m)
-        true_m = jnp.ones((1, TILE_PIXELS), bool)
+        true_m = jnp.ones((1, L), bool)
         for j in range(kh):
             e_h = [head[f, j:j + 1, :] for f in range(HEAD_F)]
             state, _, _ = _blend_one(
@@ -746,7 +804,7 @@ def _fwd_kernel(
             state, fm, fh = carry
             pop_m = fm > 0
             e_m = _win_update(
-                mid, MID_F, pop_m, jnp.zeros((1, TILE_PIXELS), bool),
+                mid, MID_F, pop_m, jnp.zeros((1, L), bool),
                 inf_new_m
             )
             state, fh = push_head(state, fh, pop_m, e_m)
@@ -778,7 +836,7 @@ def _fwd_kernel(
         state, fh = jax.lax.fori_loop(0, kh, drain_head, (state, fh))
 
     T, Cr, Cg, Cb, nc, done, D = state
-    out_ref[0] = jnp.concatenate(
+    res = jnp.concatenate(
         [
             Cr + T * bg_ref[0],
             Cg + T * bg_ref[1],
@@ -786,10 +844,12 @@ def _fwd_kernel(
             T,
             nc,
             D,
-            jnp.zeros((2, TILE_PIXELS), jnp.float32),
+            jnp.zeros((2, L), jnp.float32),
         ],
         axis=0,
-    )
+    )  # [8, L]
+    for j in range(group):
+        out_ref[j] = res[:, j * TILE_PIXELS:(j + 1) * TILE_PIXELS]
 
 
 def blend_hier_forward(
@@ -807,40 +867,59 @@ def blend_hier_forward(
     hier_4x4_culling: bool = False,
     chunk: int = 128,
     batched_cascade: bool = False,
+    group: int = 1,
     interpret: bool = False,
 ):
-    """Run the hierarchical forward blend. Returns packed [T, 8, 256]."""
+    """Run the hierarchical forward blend. Returns packed [T, 8, 256].
+
+    ``group`` > 1 blends that many count-matched tiles per grid step (lane
+    axis G x 256 / G x 128 packed) — same math, ~G x fewer instruction
+    issues for the sequential cascade (see kbuffer_blend.group_tiles)."""
     kt, km, kh = queue_sizes
     num_tiles = grid_x * grid_y
+    t_pad = -(-num_tiles // group) * group
+    if group == 1:
+        order = jnp.arange(num_tiles, dtype=jnp.int32)
+        starts_p, counts_p = starts, counts
+    else:
+        assert not batched_cascade, "grouped hier: batched cascade is parked"
+        order = group_tiles(counts, group)
+        safe = jnp.minimum(order, num_tiles - 1)
+        real = order < num_tiles
+        starts_p = jnp.where(real, starts[safe], 0)
+        counts_p = jnp.where(real, counts[safe], 0)
     kernel = functools.partial(
         _fwd_kernel, kt=kt, km=km, kh=kh, chunk=chunk, grid_x=grid_x,
         width=width, height=height, hier_4x4_culling=hier_4x4_culling,
-        batched_cascade=batched_cascade,
+        batched_cascade=batched_cascade, group=group,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(num_tiles,),
+        num_scalar_prefetch=5,
+        grid=(t_pad // group,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+            (group, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, KB_PAYLOAD_F, chunk), jnp.float32),
-            pltpu.VMEM((PK_STAGE, chunk, 128), jnp.float32),
-            pltpu.VMEM((TAIL_PLANES, kt, 128), jnp.float32),
-            pltpu.VMEM((MID_F, km, TILE_PIXELS), jnp.float32),
-            pltpu.VMEM((HEAD_F, kh, TILE_PIXELS), jnp.float32),
-            pltpu.VMEM((7, TAIL_BATCH, TILE_PIXELS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, group, KB_PAYLOAD_F, chunk), jnp.float32),
+            pltpu.VMEM((PK_STAGE, chunk, group * 128), jnp.float32),
+            pltpu.VMEM((TAIL_PLANES, kt, group * 128), jnp.float32),
+            pltpu.VMEM((MID_F, km, group * TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((HEAD_F, kh, group * TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((7, TAIL_BATCH, group * TILE_PIXELS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, group)),
         ],
     )
-    return pl.pallas_call(
+    packed_p = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, TILE_PIXELS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, 8, TILE_PIXELS), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, counts, bg, cam, payload)
+    )(starts_p, counts_p, order, bg, cam, payload)
+    if group == 1:
+        return packed_p
+    return packed_p[jnp.argsort(order)[:num_tiles]]
 
 
 # ---------------------------------------------------------------------------
@@ -876,64 +955,92 @@ HIER_WIN_CH = 4
 
 
 def _bwd_kernel(
-    starts_ref, counts_ref, bg_ref, cam_ref,  # scalar prefetch
+    starts_ref, counts_ref, order_ref, bg_ref, cam_ref,  # scalar prefetch
     payload_ref,                              # HBM [32, C_pad]
-    fwd_ref,                                  # VMEM [1, 8, 256]
-    grad_ref,                                 # VMEM [1, 8, 256]
+    fwd_ref,                                  # VMEM [G, 8, 256]
+    grad_ref,                                 # VMEM [G, 8, 256]
     dpay_ref,                                 # HBM out [32, C_pad]
     buf, ad_scr, tail, mid, head, casc_scr, stale_scr, dseg, sems, wsem,
     *, kt: int, km: int, kh: int, chunk: int, seg_cap: int, grid_x: int,
     width: int, height: int, hier_4x4_culling: bool,
-    batched_cascade: bool = False,
+    batched_cascade: bool = False, group: int = 1,
 ):
+    """Grouped like _fwd_kernel: window/state/basis arrays carry the G x 256
+    pixels on the lane axis. Per-tile state (segment offsets, dseg
+    accumulators, routing matmuls, writeback) stays per-tile — the one-hot
+    routing contracts each tile's lane slice separately (a shared column
+    space would mix tiles' segments; see kbuffer_blend._bwd_kernel)."""
     t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
-    rounds = pl.cdiv(count, chunk)
+    L = group * TILE_PIXELS
+    LP = group * 128
+    starts = [starts_ref[t * group + j] for j in range(group)]
+    counts = [counts_ref[t * group + j] for j in range(group)]
+    rounds_j = [pl.cdiv(c, chunk) for c in counts]
+    rounds = rounds_j[0]
+    for r in rounds_j[1:]:
+        rounds = jnp.maximum(rounds, r)
     max_route = seg_cap // chunk
-    tx = t % grid_x
-    ty = t // grid_x
-    pixf_x, pixf_y = _tile_pixels_sublanes(tx, ty)
-    plx, ply = _tile_pixels_lanes(tx, ty)
+    txy = []
+    plx_j, ply_j = [], []
+    cxy = []
+    k1_j, KT_j, ctot_j = [], [], []
+    k2_j = []
+    for j in range(group):
+        tid = order_ref[t * group + j]
+        tx = tid % grid_x
+        ty = tid // grid_x
+        txy.append((tx, ty))
+        plxj, plyj = _tile_pixels_lanes(tx, ty)
+        plx_j.append(plxj)
+        ply_j.append(plyj)
 
-    gp = grad_ref[0]
-    fw = fwd_ref[0]
-    g_r, g_g, g_b = gp[0:1, :], gp[1:2, :], gp[2:3, :]
-    g_T = gp[3:4, :]
-    T_final = fw[3:4, :]
-    KT = (g_r * bg_ref[0] + g_g * bg_ref[1] + g_b * bg_ref[2] + g_T) * T_final
-    ctot_g = (
-        (fw[0:1, :] - T_final * bg_ref[0]) * g_r
-        + (fw[1:2, :] - T_final * bg_ref[1]) * g_g
-        + (fw[2:3, :] - T_final * bg_ref[2]) * g_b
-    )
+        gp = grad_ref[j]
+        fw = fwd_ref[j]
+        g_r, g_g, g_b = gp[0:1, :], gp[1:2, :], gp[2:3, :]
+        g_T = gp[3:4, :]
+        T_final = fw[3:4, :]
+        KT_j.append(
+            (g_r * bg_ref[0] + g_g * bg_ref[1] + g_b * bg_ref[2] + g_T)
+            * T_final
+        )
+        ctot_j.append(
+            (fw[0:1, :] - T_final * bg_ref[0]) * g_r
+            + (fw[1:2, :] - T_final * bg_ref[1]) * g_g
+            + (fw[2:3, :] - T_final * bg_ref[2]) * g_b
+        )
+        # Per-pixel moment basis about the tile center (see
+        # kbuffer_blend.moments_to_grads).
+        cx = (tx * TILE_X).astype(jnp.float32) + (TILE_X - 1) / 2.0
+        cy = (ty * TILE_Y).astype(jnp.float32) + (TILE_Y - 1) / 2.0
+        cxy.append((cx, cy))
+        px = plxj - cx
+        py = plyj - cy
+        k1_j.append(jnp.concatenate(
+            [jnp.ones((1, TILE_PIXELS), jnp.float32), px, py,
+             px * px, px * py, py * py],
+            axis=0,
+        ))  # [6, 256] s1 basis
+        k2_j.append(jnp.concatenate([g_r, g_g, g_b], axis=0))  # [3, 256]
+    plx = jnp.concatenate(plx_j, axis=1)      # [1, L]
+    ply = jnp.concatenate(ply_j, axis=1)
+    KT = jnp.concatenate(KT_j, axis=1)
+    ctot_g = jnp.concatenate(ctot_j, axis=1)
+    k1 = jnp.concatenate(k1_j, axis=1)        # [6, L]
+    k2 = jnp.concatenate(k2_j, axis=1)        # [3, L]
+    mpad = jnp.zeros((GRAD_ROWS - 9, L), jnp.float32)
 
-    # Per-pixel moment basis about the tile center (see
-    # kbuffer_blend.moments_to_grads).
-    cx = (tx * TILE_X).astype(jnp.float32) + (TILE_X - 1) / 2.0
-    cy = (ty * TILE_Y).astype(jnp.float32) + (TILE_Y - 1) / 2.0
-    px = plx - cx
-    py = ply - cy
-    k1 = jnp.concatenate(
-        [jnp.ones((1, TILE_PIXELS), jnp.float32), px, py,
-         px * px, px * py, py * py],
-        axis=0,
-    )  # [6, 256] s1 basis
-    k2 = jnp.concatenate([g_r, g_g, g_b], axis=0)  # [3, 256] s2 basis
-    mpad = jnp.zeros((GRAD_ROWS - 9, TILE_PIXELS), jnp.float32)
-
-    tail[...] = jnp.zeros((TAIL_PLANES, kt, 128))
-    tail[0] = jnp.full((kt, 128), -jnp.inf)  # bubbles (see _tail_round)
+    tail[...] = jnp.zeros((TAIL_PLANES, kt, LP))
+    tail[0] = jnp.full((kt, LP), -jnp.inf)  # bubbles (see _tail_round)
     mhinit = -jnp.inf if batched_cascade else jnp.inf
-    mid[...] = jnp.zeros((MID_B, km, TILE_PIXELS))
-    mid[0] = jnp.full((km, TILE_PIXELS), mhinit)
-    head[...] = jnp.zeros((HEAD_B, kh, TILE_PIXELS))
-    head[0] = jnp.full((kh, TILE_PIXELS), mhinit)
-    dseg[...] = jnp.zeros((GRAD_ROWS, seg_cap), jnp.float32)
+    mid[...] = jnp.zeros((MID_B, km, L))
+    mid[0] = jnp.full((km, L), mhinit)
+    head[...] = jnp.zeros((HEAD_B, kh, L))
+    head[0] = jnp.full((kh, L), mhinit)
+    dseg[...] = jnp.zeros((group, GRAD_ROWS, seg_cap), jnp.float32)
     # Invalidate the stale stage's source row: slots past the stream chunk
     # are only written during drains, and the per-chunk stale pass scans all
     # of them.
-    stale_scr[2] = jnp.full((stale_scr.shape[1], TILE_PIXELS), -1.0)
+    stale_scr[2] = jnp.full((stale_scr.shape[1], L), -1.0)
 
     # Per-pixel constants for the pop-time recompute (pixels on lanes).
     vdh = _view_rays(cam_ref, plx, ply, width, height)
@@ -941,25 +1048,45 @@ def _bwd_kernel(
     qd_y = jnp.floor(ply / 2.0) * 2.0 + 0.5
     vdm = _view_rays(cam_ref, qd_x, qd_y, width, height)
 
-    def get_dma(slot, kk):
-        offset = pl.multiple_of(start + kk * chunk, chunk)
+    def get_dma(slot, j, kk):
+        offset = pl.multiple_of(starts[j] + kk * chunk, chunk)
         return pltpu.make_async_copy(
-            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot],
-            sems.at[slot],
+            payload_ref.at[:, pl.ds(offset, chunk)], buf.at[slot, j],
+            sems.at[slot, j],
         )
+
+    def start_round(slot, kk):
+        for j in range(group):
+            @pl.when(kk < rounds_j[j])
+            def _(j=j):
+                get_dma(slot, j, kk).start()
+
+    def wait_round(slot, kk):
+        for j in range(group):
+            @pl.when(kk < rounds_j[j])
+            def _(j=j):
+                get_dma(slot, j, kk).wait()
 
     @pl.when(rounds > 0)
     def _():
-        get_dma(0, 0).start()
+        start_round(0, 0)
 
     # One-hots are built column-on-sublanes / pixel-on-lanes and consumed
     # with a lane-contracting dot_general — a per-pop [1, 256] transpose
     # costs ~500 ns on this hardware (measured in the k-buffer backward).
+    # The iotas span the full G x 256 lane width: compares must run on
+    # offset-0 wide vectors (Mosaic cannot broadcast a lane-offset slice);
+    # the per-tile routing dots slice the wide one-hot afterwards.
     sub_w = jax.lax.broadcasted_iota(
-        jnp.int32, (HIER_WIN_CH * chunk, TILE_PIXELS), 0
+        jnp.int32, (HIER_WIN_CH * chunk, L), 0
     )
-    sub1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_PIXELS), 0)
+    sub1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, L), 0)
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) // TILE_PIXELS
+    block_mask = [lane_q == j for j in range(group)]  # static [1, L] each
     n_slots = stale_scr.shape[1]
+
+    def lane(x, j):
+        return x[:, j * TILE_PIXELS:(j + 1) * TILE_PIXELS]
 
     def blend_grads(state, pop_h, e_h, rst, slot, base):
         """Blend the popped head entry + branch-free moment routing.
@@ -996,13 +1123,16 @@ def _bwd_kernel(
         lo = base - (HIER_WIN_CH - 1) * chunk
         sel = commit & (src >= lo) & (src < base + chunk)
         colm = jnp.where(sel, src - lo, -1)
-        onehot_t = (colm == sub_w).astype(jnp.float32)  # [WIN*CH, 256]
-        route_acc = route_acc + jax.lax.dot_general(
-            moments, onehot_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        onehot_t = (colm == sub_w).astype(jnp.float32)  # [WIN*CH, L]
+        route_acc = tuple(
+            route_acc[g] + jax.lax.dot_general(
+                lane(moments, g), lane(onehot_t, g),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            for g in range(group)
+        )  # each [16, WIN*CH]
         # a0 > 0 skips zero-moment staging (ghost/bubble rows in batched
         # cascade mode have alpha 0 and a meaningless src).
         stale = commit & (src >= 0) & (src < lo) & (a0 > 0.0)
@@ -1014,17 +1144,18 @@ def _bwd_kernel(
         return (T, acc_g, done), (route_acc, stale_flag)
 
     def flush_acc(route_acc, base):
-        """Add the window accumulator's per-chunk parts into dseg. Parts for
-        negative chunks are identically zero (clamped to offset 0, no-op);
-        parts at or past seg_cap are truncation, skipped."""
+        """Add the window accumulators' per-chunk parts into each tile's
+        dseg. Parts for negative chunks are identically zero (clamped to
+        offset 0, no-op); parts at or past seg_cap are truncation, skipped."""
         for i in range(HIER_WIN_CH):
             off = jnp.maximum(base - (HIER_WIN_CH - 1 - i) * chunk, 0)
 
             @pl.when(off < seg_cap)
             def _(off=off, i=i):
-                dseg[:, pl.ds(pl.multiple_of(off, chunk), chunk)] += (
-                    route_acc[:, i * chunk:(i + 1) * chunk]
-                )
+                for g in range(group):
+                    dseg[g, :, pl.ds(pl.multiple_of(off, chunk), chunk)] += (
+                        route_acc[g][:, i * chunk:(i + 1) * chunk]
+                    )
 
     def stale_pass(stale_flag):
         """Replay staged stale pops through the dynamic routing loop — one
@@ -1042,24 +1173,26 @@ def _bwd_kernel(
                 )
                 route = (srcj >= 0) & (srcj < seg_cap) & (wj > 0.0)
                 chunk_id = jnp.where(route, srcj // chunk, 0)
-                cmin = jnp.min(jnp.where(route, chunk_id, max_route))
-                cmax = jnp.max(jnp.where(route, chunk_id, -1))
+                for g in range(group):
+                    route_g = route & block_mask[g]  # wide, offset-0
+                    cmin = jnp.min(jnp.where(route_g, chunk_id, max_route))
+                    cmax = jnp.max(jnp.where(route_g, chunk_id, -1))
 
-                def route_chunk(r, _):
-                    sel = route & (chunk_id == r)
-                    colm = jnp.where(sel, srcj - r * chunk, -1)
-                    onehot_t = (colm == sub1).astype(jnp.float32)
-                    dchunk = jax.lax.dot_general(
-                        moments, onehot_t,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    off = pl.multiple_of(r * chunk, chunk)
-                    dseg[:, pl.ds(off, chunk)] += dchunk
-                    return 0
+                    def route_chunk(r, _, g=g, route_g=route_g):
+                        sel = route_g & (chunk_id == r)
+                        colm = jnp.where(sel, srcj - r * chunk, -1)
+                        onehot_t = (colm == sub1).astype(jnp.float32)
+                        dchunk = jax.lax.dot_general(
+                            lane(moments, g), lane(onehot_t, g),
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        off = pl.multiple_of(r * chunk, chunk)
+                        dseg[g, :, pl.ds(off, chunk)] += dchunk
+                        return 0
 
-                jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
+                    jax.lax.fori_loop(cmin, cmax + 1, route_chunk, 0)
                 return 0
 
             jax.lax.fori_loop(0, n_slots, stale_one, 0)
@@ -1081,7 +1214,7 @@ def _bwd_kernel(
         fm = fm + pop_t.astype(jnp.int32) - pop_m.astype(jnp.int32)
         return state, fm, fh, rst
 
-    true_m = jnp.ones((1, TILE_PIXELS), bool)
+    true_m = jnp.ones((1, L), bool)
 
     def _cascade_rounds_b(carry, mid_in, slot0, base):
         """Batched mid round + head round + ordered gradient blends (the
@@ -1121,7 +1254,21 @@ def _bwd_kernel(
         state, fm, fh, rst = carry
         emit = _tail_round(tail, incoming, kt)
         vmask = jnp.isfinite(emit[0])
-        sc, src_row, v_wide = _unpack_batch(emit, vmask)
+        if group == 1:
+            sc, src_row, v_wide = _unpack_batch(emit, vmask)
+        else:
+            parts = []
+            for j in range(group):
+                sl = slice(j * 128, (j + 1) * 128)
+                parts.append(
+                    _unpack_batch([e[:, sl] for e in emit], vmask[:, sl])
+                )
+            sc = [
+                jnp.concatenate([p[0][i] for p in parts], axis=1)
+                for i in range(18)
+            ]
+            src_row = jnp.concatenate([p[1] for p in parts], axis=1)
+            v_wide = jnp.concatenate([p[2] for p in parts], axis=1)
         d_head = _ray_depth_rows(sc, vdh)
         d_mid = _ray_depth_rows(sc, vdm)
         dxp = sc[0] - plx
@@ -1130,7 +1277,8 @@ def _bwd_kernel(
         alpha = jnp.minimum(ALPHA_MAX, sc[5] * jnp.exp(-factor))
         ok = (factor >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (d_head >= 0.0)
         a_eff = jnp.where(ok & v_wide, alpha, 0.0)
-        cg = sc[6] * g_r + sc[7] * g_g + sc[8] * g_b
+        # k2 rows are the wide per-pixel (g_r, g_g, g_b).
+        cg = sc[6] * k2[0:1] + sc[7] * k2[1:2] + sc[8] * k2[2:3]
 
         if batched_cascade:
             state, fm, fh, rst = carry
@@ -1171,26 +1319,32 @@ def _bwd_kernel(
 
         @pl.when(kk + 1 < rounds)
         def _():
-            get_dma((kk + 1) % 2, kk + 1).start()
+            start_round((kk + 1) % 2, kk + 1)
 
-        get_dma(slot, kk).wait()
-        rows = _intake_packed(
-            buf[slot], cam_ref, tx, ty, count - kk * chunk, width, height,
-            hier_4x4_culling,
-        )
-        for i, r in enumerate(rows):
-            ad_scr[i] = r
+        wait_round(slot, kk)
+        for j in range(group):
+            txj, tyj = txy[j]
+            rows = _intake_packed(
+                buf[slot, j], cam_ref, txj, tyj, counts[j] - kk * chunk,
+                width, height, hier_4x4_culling,
+            )
+            for i, r in enumerate(rows):
+                ad_scr[i, :, j * 128:(j + 1) * 128] = r
         base = kk * chunk
         # Fold the stream position into plane-3 field 2 (exact below 2^24)
-        # for the whole chunk at once.
-        rowpos = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 0)
+        # for the whole chunk at once. src is segment-local, so the same
+        # fold serves every tile's packed block (% 8 repeats per block).
+        rowpos = jax.lax.broadcasted_iota(jnp.int32, (chunk, LP), 0)
         srcval = (base + rowpos).astype(jnp.float32)
-        lane_f2 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1) % 8
+        lane_f2 = jax.lax.broadcasted_iota(jnp.int32, (chunk, LP), 1) % 8
         ad_scr[3] = jnp.where(lane_f2 == 2, srcval, ad_scr[3])
 
         rst0 = (
-            jnp.zeros((GRAD_ROWS, HIER_WIN_CH * chunk), jnp.float32),
-            jnp.zeros((1, TILE_PIXELS), jnp.float32),
+            tuple(
+                jnp.zeros((GRAD_ROWS, HIER_WIN_CH * chunk), jnp.float32)
+                for _ in range(group)
+            ),
+            jnp.zeros((1, L), jnp.float32),
         )
         state, fm, fh = carry
         c = (state, fm, fh, rst0)
@@ -1205,9 +1359,9 @@ def _bwd_kernel(
         stale_pass(stale_flag)
         return state, fm, fh
 
-    ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
-    zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
-    zi = jnp.zeros((1, TILE_PIXELS), jnp.int32)
+    ones = jnp.ones((1, L), jnp.float32)
+    zeros = jnp.zeros((1, L), jnp.float32)
+    zi = jnp.zeros((1, L), jnp.int32)
     state0 = (ones, zeros, zeros)  # T, acc.g, done
 
     # Round-level early termination mirroring the forward (dseg was
@@ -1226,24 +1380,27 @@ def _bwd_kernel(
 
     @pl.when(k_end < rounds)
     def _():
-        get_dma(k_end % 2, k_end).wait()
+        wait_round(k_end % 2, k_end)
 
-    inf_new_m = [jnp.full((1, TILE_PIXELS), jnp.inf)] + [zeros] * (MID_B - 1)
-    nomask = jnp.zeros((1, TILE_PIXELS), bool)
+    inf_new_m = [jnp.full((1, L), jnp.inf)] + [zeros] * (MID_B - 1)
+    nomask = jnp.zeros((1, L), bool)
 
     # Drains reuse the fast-path machinery: dedicated stale slots per drain
     # phase, replayed once at the end. Invalidate leftover stream-slot
     # sources first so the final stale pass cannot double-route them.
-    stale_scr[2] = jnp.full((n_slots, TILE_PIXELS), -1.0)
+    stale_scr[2] = jnp.full((n_slots, L), -1.0)
     base_d = jnp.maximum(k_end - 1, 0) * chunk
     rst_d = (
-        jnp.zeros((GRAD_ROWS, HIER_WIN_CH * chunk), jnp.float32),
-        jnp.zeros((1, TILE_PIXELS), jnp.float32),
+        tuple(
+            jnp.zeros((GRAD_ROWS, HIER_WIN_CH * chunk), jnp.float32)
+            for _ in range(group)
+        ),
+        jnp.zeros((1, L), jnp.float32),
     )
 
     # Tail drain: +inf incoming pads push every held real entry out.
     drain_in = [
-        jnp.full((TAIL_BATCH, 128), jnp.inf if p == 0 else 0.0, jnp.float32)
+        jnp.full((TAIL_BATCH, LP), jnp.inf if p == 0 else 0.0, jnp.float32)
         for p in range(TAIL_PLANES)
     ]
     n_tail_drains = -(-kt // TAIL_BATCH)
@@ -1255,8 +1412,8 @@ def _bwd_kernel(
 
     if batched_cascade:
         drain_m_b = (
-            [jnp.full((CASC_BATCH, TILE_PIXELS), jnp.inf, jnp.float32)]
-            + [jnp.zeros((CASC_BATCH, TILE_PIXELS), jnp.float32)]
+            [jnp.full((CASC_BATCH, L), jnp.inf, jnp.float32)]
+            + [jnp.zeros((CASC_BATCH, L), jnp.float32)]
             * (MID_B - 1)
         )
         n_mid_drains = -(-km // CASC_BATCH)
@@ -1311,50 +1468,32 @@ def _bwd_kernel(
     stale_pass(rst_d[1])
 
     # Expand moments -> gradient rows chunk-by-chunk (re-fetching the payload
-    # features double-buffered) and write back to HBM.
-    wb_rounds = jnp.minimum(rounds, max_route)
+    # features double-buffered) and write back to HBM, per tile.
+    for j in range(group):
+        wb_rounds = jnp.minimum(rounds_j[j], max_route)
+        cx, cy = cxy[j]
 
-    @pl.when(wb_rounds > 0)
-    def _():
-        get_dma(0, 0).start()
+        @pl.when(wb_rounds > 0)
+        def _(j=j):
+            get_dma(0, j, 0).start()
 
-    def writeback(r, _):
-        @pl.when(r + 1 < wb_rounds)
-        def _():
-            get_dma((r + 1) % 2, r + 1).start()
+        def writeback(r, _, j=j, wb_rounds=wb_rounds, cx=cx, cy=cy):
+            @pl.when(r + 1 < wb_rounds)
+            def _():
+                get_dma((r + 1) % 2, j, r + 1).start()
 
-        get_dma(r % 2, r).wait()
-        feat = buf[r % 2]  # rows 0..5 = x, y, ca, cb, cc, opw
-        off = pl.multiple_of(r * chunk, chunk)
-        dm = dseg[:, pl.ds(off, chunk)]
-        grads = moments_to_grads(dm, feat, cx, cy)
-        dseg[:, pl.ds(off, chunk)] = jnp.concatenate(
-            [grads, jnp.zeros((GRAD_ROWS - 9, chunk), jnp.float32)], axis=0
-        )
-        dst = pl.multiple_of(start + r * chunk, chunk)
-        cp = pltpu.make_async_copy(
-            dseg.at[:, pl.ds(off, chunk)],
-            dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
-            wsem,
-        )
-        cp.start()
-        cp.wait()
-        return 0
-
-    jax.lax.fori_loop(0, wb_rounds, writeback, 0)
-
-    # Zero the truncated gradient tail of over-seg_cap segments in-kernel
-    # (grad_overflow is reported upstream) so the VJP wrapper's masking is
-    # a single column compare, not a per-column searchsorted (42 ms/step
-    # at config 2 — measured).
-    @pl.when(rounds > max_route)
-    def _():
-        dseg[:, pl.ds(0, chunk)] = jnp.zeros((GRAD_ROWS, chunk), jnp.float32)
-
-        def zfill(r, _):
-            dst = pl.multiple_of(start + r * chunk, chunk)
+            get_dma(r % 2, j, r).wait()
+            feat = buf[r % 2, j]  # rows 0..5 = x, y, ca, cb, cc, opw
+            off = pl.multiple_of(r * chunk, chunk)
+            dm = dseg[j, :, pl.ds(off, chunk)]
+            grads = moments_to_grads(dm, feat, cx, cy)
+            dseg[j, :, pl.ds(off, chunk)] = jnp.concatenate(
+                [grads, jnp.zeros((GRAD_ROWS - 9, chunk), jnp.float32)],
+                axis=0,
+            )
+            dst = pl.multiple_of(starts[j] + r * chunk, chunk)
             cp = pltpu.make_async_copy(
-                dseg.at[:, pl.ds(0, chunk)],
+                dseg.at[j, :, pl.ds(off, chunk)],
                 dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
                 wsem,
             )
@@ -1362,7 +1501,30 @@ def _bwd_kernel(
             cp.wait()
             return 0
 
-        jax.lax.fori_loop(wb_rounds, rounds, zfill, 0)
+        jax.lax.fori_loop(0, wb_rounds, writeback, 0)
+
+        # Zero the truncated gradient tail of over-seg_cap segments in-kernel
+        # (grad_overflow is reported upstream) so the VJP wrapper's masking
+        # is a single column compare, not a per-column searchsorted (42
+        # ms/step at config 2 — measured).
+        @pl.when(rounds_j[j] > max_route)
+        def _(j=j, wb_rounds=wb_rounds):
+            dseg[j, :, pl.ds(0, chunk)] = jnp.zeros(
+                (GRAD_ROWS, chunk), jnp.float32
+            )
+
+            def zfill(r, _):
+                dst = pl.multiple_of(starts[j] + r * chunk, chunk)
+                cp = pltpu.make_async_copy(
+                    dseg.at[j, :, pl.ds(0, chunk)],
+                    dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
+                    wsem,
+                )
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(wb_rounds, rounds_j[j], zfill, 0)
 
 
 def blend_hier_backward(
@@ -1383,55 +1545,87 @@ def blend_hier_backward(
     chunk: int = 128,
     seg_cap: int = 16384,
     batched_cascade: bool = False,
+    group: int = 1,
     interpret: bool = False,
 ):
-    """Returns d_payload [32, C_pad] (rows 0..8 of written segments)."""
+    """Returns d_payload [32, C_pad] (rows 0..8 of written segments).
+
+    ``group`` > 1 replays that many count-matched tiles per grid step (the
+    forward's lane widening). Gradients are written at segment offsets, so
+    no inverse permutation is needed."""
     kt, km, kh = queue_sizes
     num_tiles = grid_x * grid_y
+    t_pad = -(-num_tiles // group) * group
+    if group == 1:
+        order = jnp.arange(num_tiles, dtype=jnp.int32)
+        starts_p, counts_p = starts, counts
+        fwd_p, grad_p = fwd_packed, grad_packed
+    else:
+        assert not batched_cascade, "grouped hier: batched cascade is parked"
+        order = group_tiles(counts, group)
+        safe = jnp.minimum(order, num_tiles - 1)
+        real = order < num_tiles
+        starts_p = jnp.where(real, starts[safe], 0)
+        counts_p = jnp.where(real, counts[safe], 0)
+        fwd_p = fwd_packed[safe]
+        grad_p = grad_packed[safe]
     kernel = functools.partial(
         _bwd_kernel, kt=kt, km=km, kh=kh, chunk=chunk, seg_cap=seg_cap,
         grid_x=grid_x, width=width, height=height,
         hier_4x4_culling=hier_4x4_culling, batched_cascade=batched_cascade,
+        group=group,
     )
     km_drain = -(-km // CASC_BATCH) * CASC_BATCH if batched_cascade else km
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(num_tiles,),
+        num_scalar_prefetch=5,
+        grid=(t_pad // group,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                (group, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
+                (group, 8, TILE_PIXELS), lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, KB_PAYLOAD_F, chunk), jnp.float32),
-            pltpu.VMEM((PK_STAGE, chunk, 128), jnp.float32),
-            pltpu.VMEM((TAIL_PLANES, kt, 128), jnp.float32),
-            pltpu.VMEM((MID_B, km, TILE_PIXELS), jnp.float32),
-            pltpu.VMEM((HEAD_B, kh, TILE_PIXELS), jnp.float32),
-            pltpu.VMEM((6, TAIL_BATCH, TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((2, group, KB_PAYLOAD_F, chunk), jnp.float32),
+            pltpu.VMEM((PK_STAGE, chunk, group * 128), jnp.float32),
+            pltpu.VMEM((TAIL_PLANES, kt, group * 128), jnp.float32),
+            pltpu.VMEM((MID_B, km, group * TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((HEAD_B, kh, group * TILE_PIXELS), jnp.float32),
+            pltpu.VMEM((6, TAIL_BATCH, group * TILE_PIXELS), jnp.float32),
             pltpu.VMEM(
                 (3,
                  max(chunk,
                      -(-kt // TAIL_BATCH) * TAIL_BATCH + km_drain + kh),
-                 TILE_PIXELS),
+                 group * TILE_PIXELS),
                 jnp.float32,
             ),  # stale stage: s1, w, src
-            pltpu.VMEM((GRAD_ROWS, seg_cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((group, GRAD_ROWS, seg_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, group)),
             pltpu.SemaphoreType.DMA,
         ],
     )
+    params = {}
+    if group > 1:
+        # dseg alone is group x 16 x seg_cap x 4B; lift the default scoped
+        # budget accordingly (physical VMEM bounds group x seg_cap).
+        params["compiler_params"] = pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    else:
+        params["compiler_params"] = pltpu.CompilerParams(
+            has_side_effects=True,
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(payload.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, bg, cam, payload, fwd_packed, grad_packed)
+        **params,
+    )(starts_p, counts_p, order, bg, cam, payload, fwd_p, grad_p)

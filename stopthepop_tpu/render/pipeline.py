@@ -381,6 +381,8 @@ def render_tiled_hier(
         grid_x, grid_y, tuple(queue_sizes), image_width, image_height,
         hier_4x4_culling, chunk, seg_cap, interpret,
         batched_cascade=batched_cascade,
+        group=(1 if batched_cascade
+               else int(os.environ.get("STP_HIER_GROUP", "1"))),
     )
     packed = blend(payload, segs.starts, segs.counts, bg, cam)
     color, final_t, n_contrib, depth_acc = unpack_image(

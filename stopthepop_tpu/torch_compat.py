@@ -302,9 +302,14 @@ def _dump_snapshot(tag, torch_args, raster_settings):
     payload["raster_settings"] = raster_settings._replace(
         settings=raster_settings.settings.to_dict()
     )
-    torch.save(payload, f"snapshot_{tag}.dump")
+    import os
+
+    path = os.path.join(
+        os.environ.get("STP_SNAPSHOT_DIR", "."), f"snapshot_{tag}.dump"
+    )
+    torch.save(payload, path)
     print(f"\nAn error occured in {tag}. Inputs written to "
-          f"snapshot_{tag}.dump for debugging.")
+          f"{path} for debugging.")
 
 
 def rasterize_gaussians(

@@ -33,3 +33,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Failure-contract tests exercise snapshot-on-failure dumps; point them at
+# a scratch dir so they never litter the repo root (VERDICT r3 weak #8).
+import tempfile
+
+os.environ.setdefault("STP_SNAPSHOT_DIR", tempfile.mkdtemp(prefix="stp_snap_"))

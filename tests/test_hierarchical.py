@@ -304,3 +304,75 @@ def test_hier_batched_cascade_oracle_matches_sequential(hier_4x4):
                                atol=2e-6)
     np.testing.assert_allclose(np.asarray(T_b), np.asarray(T_s), atol=2e-6)
     np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_s))
+
+
+@pytest.mark.parametrize("group", [2, 3])
+def test_hier_grouped_tiles_match_ungrouped(group, monkeypatch):
+    """group > 1 runs the cascade for count-matched tiles on a G x 256 lane
+    axis (kbuffer_blend.group_tiles); entries only move when pushed by valid
+    intake, so ghost rounds on shorter tiles are no-ops and the grouped
+    kernel must be value-exact vs one-tile-per-step, including non-divisible
+    grids (zero-count dummy tiles)."""
+    w, h = 80, 64  # 5 x 4 = 20 tiles: group=3 exercises padding
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(11), 200)
+    prep = _prep(scene, cam)
+    bg = jnp.full((3,), 0.1)
+    cap = int(count_pairs(prep)) + 64
+
+    def run():
+        img, T, nc, _, _ = render_tiled_hier(
+            prep, bg, image_width=w, image_height=h, capacity=cap,
+            campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
+            queue_sizes=(16, 8, 4), interpret=True,
+        )
+        return np.asarray(img), np.asarray(T), np.asarray(nc)
+
+    monkeypatch.setenv("STP_HIER_GROUP", "1")
+    base = run()
+    monkeypatch.setenv("STP_HIER_GROUP", str(group))
+    out = run()
+    for b, o in zip(base, out):
+        np.testing.assert_array_equal(b, o)
+
+
+@pytest.mark.parametrize("group", [3])
+@pytest.mark.slow
+def test_hier_grouped_backward_matches_ungrouped(group, monkeypatch):
+    """The grouped replay's per-tile moment routing + writeback must give
+    bit-identical gradients to the one-tile-per-step backward."""
+    from stopthepop_tpu.config import (ExtendedSettings,
+                                       GaussianRasterizationSettings,
+                                       SortMode)
+    from stopthepop_tpu.render import rasterize
+
+    w, h = 80, 64
+    cam = make_camera(w, h)
+    scene = random_scene(jax.random.PRNGKey(9), 150)
+    ext = ExtendedSettings()
+    ext.sort_settings.sort_mode = SortMode.HIERARCHICAL
+    ext.sort_settings.queue_sizes.tile_4x4 = 16
+    ext.sort_settings.queue_sizes.tile_2x2 = 8
+    ext.sort_settings.queue_sizes.per_pixel = 4
+    rs = GaussianRasterizationSettings(
+        image_height=h, image_width=w, tanfovx=cam.tanfovx,
+        tanfovy=cam.tanfovy, bg=jnp.full((3,), 0.1), scale_modifier=1.0,
+        viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+        inv_viewprojmatrix=cam.inv_viewprojmatrix, sh_degree=3,
+        campos=cam.campos, prefiltered=False, settings=ext,
+    )
+    wts = jax.random.normal(jax.random.PRNGKey(1), (3, h, w))
+
+    def loss(means):
+        img, _ = rasterize.rasterize_gaussians(
+            means, None, scene.shs, None, scene.opacities,
+            scene.scales, scene.rotations, None, rs, interpret=True,
+            pair_capacity=4096,
+        )
+        return jnp.sum(img * wts)
+
+    monkeypatch.setenv("STP_HIER_GROUP", "1")
+    g1 = jax.grad(loss)(scene.means3d)
+    monkeypatch.setenv("STP_HIER_GROUP", str(group))
+    g3 = jax.grad(loss)(scene.means3d)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))

@@ -154,6 +154,7 @@ def test_torch_debug_snapshot_on_failure(tmp_path, monkeypatch):
     """debug=True dumps the exact inputs on failure (the reference's
     snapshot_fw.dump contract, __init__.py:96-103) at the torch layer."""
     monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("STP_SNAPSHOT_DIR", str(tmp_path))
     cam, scene, trs, jrs, t = _setup()
     trs = trs._replace(debug=True)
     r = tc.GaussianRasterizer(trs, interpret=True)
