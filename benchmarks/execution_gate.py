@@ -92,11 +92,11 @@ def cells():
         ("GLOBAL PTD_MAX", dict(mode=G, order=PTD), {}, {}, False),
         ("KBUFFER k=4 PTD", dict(mode=K, order=PTD, k=4), {}, {}, True),
         ("KBUFFER k=4 G=4", dict(mode=K, order=PTD, k=4), {},
-         {"STP_KB_GROUP": "4"}, True),
+         {"STP_KB_GROUP": "4", "STP_KB_GROUP_BWD": "4"}, True),
         ("HIER 16/8/4", dict(mode=HI, order=PTD, hq=(16, 8, 4)), {}, {},
          True),
         ("HIER 16/8/4 G=3", dict(mode=HI, order=PTD, hq=(16, 8, 4)), {},
-         {"STP_HIER_GROUP": "3"}, True),
+         {"STP_HIER_GROUP": "3", "STP_HIER_GROUP_BWD": "3"}, True),
         # bcasc's reference is the (gated) TPU per-entry kernel: its CPU
         # interpret graph is too large to compile (the reason
         # verify_batched_cascade.py exists).

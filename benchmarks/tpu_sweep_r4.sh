@@ -14,7 +14,9 @@ ITEMS=()
 run() {  # run <name> <timeout-s> <cmd...>
   local name=$1 tmo=$2; shift 2
   ITEMS+=("$name")
-  if [ -s "$OUT/$name.log" ] && grep -q "^DONE rc=" "$OUT/$name.log"; then
+  # Only SUCCESSFUL items are cached: a failed item reruns on the next
+  # invocation (after the fix), instead of being skipped as "done".
+  if [ -s "$OUT/$name.log" ] && grep -q "^DONE rc=0" "$OUT/$name.log"; then
     echo "== $name: cached, skip"; return
   fi
   echo "== $name: start $(date +%H:%M:%S)"
@@ -57,8 +59,12 @@ P2="--width 800 --height 800 --gaussians 100000"
 run prof_hier_fwd 2400 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
 run prof_hier_g2_fwd 2400 env STP_HIER_GROUP=2 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
 run prof_hier_g4_fwd 2400 env STP_HIER_GROUP=4 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
-run prof_hier_g2 3600 env STP_HIER_GROUP=2 python benchmarks/profile_step.py $P2 --mode HIER --top 12
-run prof_hier_g4 3600 env STP_HIER_GROUP=4 python benchmarks/profile_step.py $P2 --mode HIER --top 12
+run prof_hier_g2 3600 env STP_HIER_GROUP=2 STP_HIER_GROUP_BWD=2 python benchmarks/profile_step.py $P2 --mode HIER --top 12
+run prof_hier_g4 3600 env STP_HIER_GROUP=4 STP_HIER_GROUP_BWD=4 python benchmarks/profile_step.py $P2 --mode HIER --top 12
+# mixed: grouped forward + ungrouped backward (grouping is value-exact, so
+# the VJP may mix; the backward's moment routing measured slower grouped)
+run prof_hier_g2b1 3600 env STP_HIER_GROUP=2 python benchmarks/profile_step.py $P2 --mode HIER --top 12
+run prof_hier_g4b1 3600 env STP_HIER_GROUP=4 python benchmarks/profile_step.py $P2 --mode HIER --top 12
 
 # 2. the two stale decision points (VERDICT r3 #2)
 run quality_defaults 5400 python benchmarks/quality_defaults.py

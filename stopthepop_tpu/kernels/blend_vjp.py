@@ -69,7 +69,8 @@ def make_blend_global(grid_x: int, grid_y: int, chunk: int, interpret: bool,
 @functools.lru_cache(maxsize=None)
 def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
                        height: int, chunk: int, seg_cap: int,
-                       interpret: bool, group: int = None):
+                       interpret: bool, group: int = None,
+                       group_bwd: int = None):
     """Differentiable k-buffer blend for one static config.
 
     Gradients flow to the payload's blendable rows (xy, conic, opacity, rgb)
@@ -81,10 +82,16 @@ def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
 
     # Tiles blended per grid step (lane axis = group x 256): amortizes the
     # sequential window loop's instruction issue across count-matched tiles.
-    if group is None:
-        import os
+    # The backward's group is independent (grouping is value-exact): its
+    # per-pop moment routing scales WITH the lane width and measured slower
+    # grouped (round 4: fwd 33.6 -> 21.4 ms at G=2, bwd 106 -> 139 ms), so
+    # it defaults to 1.
+    import os
 
+    if group is None:
         group = int(os.environ.get("STP_KB_GROUP", "1"))
+    if group_bwd is None:
+        group_bwd = int(os.environ.get("STP_KB_GROUP_BWD", "1"))
 
     @jax.custom_vjp
     def blend(payload, starts, counts, bg, cam):
@@ -103,7 +110,8 @@ def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
         dpay = blend_kbuffer_backward(
             payload, packed, g_packed, starts, counts, bg, cam,
             grid_x=grid_x, grid_y=grid_y, k=k, width=width, height=height,
-            chunk=chunk, seg_cap=seg_cap, group=group, interpret=interpret,
+            chunk=chunk, seg_cap=seg_cap, group=group_bwd,
+            interpret=interpret,
         )
         dpay = _zero_unwritten(dpay, counts, chunk)
         d_bg = jnp.einsum("tcp,tp->c", g_packed[:, 0:3, :], packed[:, 3, :])
@@ -142,20 +150,28 @@ def _zero_unwritten(dpay, counts, chunk):
 def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
                     height: int, hier_4x4_culling: bool, chunk: int,
                     seg_cap: int, interpret: bool,
-                    batched_cascade: bool = False, group: int = None):
+                    batched_cascade: bool = False, group: int = None,
+                    group_bwd: int = None):
     """Differentiable hierarchical blend for one static config.
 
     Same gradient surface as the k-buffer blend: payload blendable rows + bg;
     depth keys and camera get zero gradient (discrete resort).
     ``group`` > 1 lane-widens the cascade over count-matched tiles (the
-    k-buffer's grouped-tile scheme, hier_blend._fwd_kernel).
+    k-buffer's grouped-tile scheme, hier_blend._fwd_kernel). ``group_bwd``
+    sets the backward's group independently (grouping is value-exact, so
+    mixing is sound): the forward's VPU cascade is issue-bound and wins from
+    lane widening (182 -> 122 ms at G=2, config 2), while the backward's
+    per-pop moment routing (one-hot compare + per-tile lane-slice dots)
+    scales WITH G and measured slower grouped — default it to 1.
     """
     from .hier_blend import blend_hier_backward, blend_hier_forward
 
-    if group is None:
-        import os
+    import os
 
+    if group is None:
         group = int(os.environ.get("STP_HIER_GROUP", "1"))
+    if group_bwd is None:
+        group_bwd = int(os.environ.get("STP_HIER_GROUP_BWD", "1"))
 
     @jax.custom_vjp
     def blend(payload, starts, counts, bg, cam):
@@ -178,7 +194,7 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
             grid_x=grid_x, grid_y=grid_y, queue_sizes=queue_sizes,
             width=width, height=height, hier_4x4_culling=hier_4x4_culling,
             chunk=chunk, seg_cap=seg_cap,
-            batched_cascade=batched_cascade, group=group,
+            batched_cascade=batched_cascade, group=group_bwd,
             interpret=interpret,
         )
         dpay = _zero_unwritten(dpay, counts, chunk)

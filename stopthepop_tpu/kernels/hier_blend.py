@@ -911,11 +911,20 @@ def blend_hier_forward(
             pltpu.SemaphoreType.DMA((2, group)),
         ],
     )
+    params = {}
+    if group > 1:
+        # The wide cascade's scratch + value stack exceeds the default 16 MiB
+        # scoped budget at G >= 4 (measured 21.2 MiB); physical VMEM (128 MiB
+        # on v5e) comfortably bounds it.
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
     packed_p = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((t_pad, 8, TILE_PIXELS), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        **params,
     )(starts_p, counts_p, order, bg, cam, payload)
     if group == 1:
         return packed_p
@@ -1077,9 +1086,6 @@ def _bwd_kernel(
     # The iotas span the full G x 256 lane width: compares must run on
     # offset-0 wide vectors (Mosaic cannot broadcast a lane-offset slice);
     # the per-tile routing dots slice the wide one-hot afterwards.
-    sub_w = jax.lax.broadcasted_iota(
-        jnp.int32, (HIER_WIN_CH * chunk, L), 0
-    )
     sub1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, L), 0)
     lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) // TILE_PIXELS
     block_mask = [lane_q == j for j in range(group)]  # static [1, L] each
@@ -1122,14 +1128,28 @@ def _bwd_kernel(
         route_acc, stale_flag = rst
         lo = base - (HIER_WIN_CH - 1) * chunk
         sel = commit & (src >= lo) & (src < base + chunk)
-        colm = jnp.where(sel, src - lo, -1)
-        onehot_t = (colm == sub_w).astype(jnp.float32)  # [WIN*CH, L]
+        # Two-level routing (round 4, shared with the k-buffer backward):
+        # ONE [CH, L] within-chunk one-hot (the old [WIN*CH, L] compare was
+        # the dominant per-pop cost and scaled with the window span) plus a
+        # [1, L] per-window-chunk mask folded into the 16 moment rows.
+        # Exact: identical addend multisets per output column.
+        within = jnp.where(sel, src % chunk, -1)
+        onehot1 = (within == sub1).astype(jnp.float32)  # [CH, L]
+        wid = (src - lo) // chunk  # window-chunk index where sel
         route_acc = tuple(
-            route_acc[g] + jax.lax.dot_general(
-                lane(moments, g), lane(onehot_t, g),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            route_acc[g] + jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        lane(moments
+                             * (sel & (wid == wi)).astype(jnp.float32), g),
+                        lane(onehot1, g),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    for wi in range(HIER_WIN_CH)
+                ],
+                axis=1,
             )
             for g in range(group)
         )  # each [16, WIN*CH]

@@ -592,7 +592,6 @@ def _bwd_kernel(
     # earlier formulation), while the broadcast compare is ~free. The iotas
     # span the full G x 256 lane width: compares must run on offset-0 wide
     # vectors (Mosaic cannot broadcast a lane-offset slice).
-    sub2w = jax.lax.broadcasted_iota(jnp.int32, (2 * chunk, L), 0)
     sub1w = jax.lax.broadcasted_iota(jnp.int32, (chunk, L), 0)
     lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) // TILE_PIXELS
     block_mask = [lane_q == j for j in range(group)]  # static [1, L] each
@@ -666,20 +665,33 @@ def _bwd_kernel(
         moments = jnp.concatenate([s1 * k1, w * k2, mpad], axis=0)
         lo = (base - chunk)  # window start: previous chunk
         sel = commit & (src >= lo) & (src < base + chunk)
-        colm = jnp.where(sel, src - lo, -1)
-        # One FULL-WIDTH compare builds every tile's one-hot at once: Mosaic
-        # cannot broadcast a lane-offset slice (vector.broadcast of a [1,256]
-        # block at offset g*256 fails layout checks), but broadcasting the
-        # offset-0 wide row then slicing the result for the per-tile dots
-        # lowers fine (dot operands get relayouted).
-        onehot_w = (colm == sub2w).astype(jnp.float32)  # [2*CH, L]
+        # Two-level routing (round 4): the [2*CH, L] window one-hot compare
+        # was the dominant per-pop cost — its VPU work scales with the
+        # window span. Split the column into (window chunk, within-chunk):
+        # ONE [CH, L] within one-hot (src % chunk; -1 never matches) plus a
+        # [1, L] per-window-chunk mask folded into the 16 moment rows.
+        # Exact: the addend multisets per output column are identical (the
+        # other half's lanes contribute exact 0.0 either way). The wide
+        # compare runs at offset 0 (Mosaic cannot broadcast a lane-offset
+        # slice); the per-tile dots slice afterwards.
+        within = jnp.where(sel, src % chunk, -1)
+        onehot1 = (within == sub1w).astype(jnp.float32)  # [CH, L]
+        whalf = src >= base  # current chunk vs previous
+        m_prev = (sel & ~whalf).astype(jnp.float32)
+        m_cur = (sel & whalf).astype(jnp.float32)
         route_acc = tuple(
-            route_acc[g] + jax.lax.dot_general(
-                lane(moments, g),
-                lane(onehot_w, g),  # [2*CH, 256]
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            route_acc[g] + jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        lane(moments * m_w, g),
+                        lane(onehot1, g),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    for m_w in (m_prev, m_cur)
+                ],
+                axis=1,
             )
             for g in range(group)
         )  # each [16, 2*CH]

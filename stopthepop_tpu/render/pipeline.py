@@ -257,6 +257,7 @@ def render_tiled_kbuffer(
     blend = make_blend_kbuffer(
         grid_x, grid_y, k, image_width, image_height, chunk, seg_cap,
         interpret, group=int(os.environ.get("STP_KB_GROUP", "1")),
+        group_bwd=int(os.environ.get("STP_KB_GROUP_BWD", "1")),
     )
     packed = blend(payload, segs.starts, segs.counts, bg, cam)
     color, final_t, n_contrib, depth_acc = unpack_image(
@@ -383,6 +384,8 @@ def render_tiled_hier(
         batched_cascade=batched_cascade,
         group=(1 if batched_cascade
                else int(os.environ.get("STP_HIER_GROUP", "1"))),
+        group_bwd=(1 if batched_cascade
+                   else int(os.environ.get("STP_HIER_GROUP_BWD", "1"))),
     )
     packed = blend(payload, segs.starts, segs.counts, bg, cam)
     color, final_t, n_contrib, depth_acc = unpack_image(

@@ -238,6 +238,17 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--interpret", action="store_true",
                     help="run Pallas kernels in interpret mode (CPU debug)")
+    # Measured, quality-gated performance winners (benchmarks/
+    # quality_defaults.py round 4: PASS, delta -0.011 dB on a real fit).
+    # They default ON for GLOBAL-mode training; 32x16 binning applies to
+    # GLOBAL only (the resort kernels' sub-tile geometry is fixed 16x16).
+    ap.add_argument("--tile", default="auto",
+                    help="binning tile WxH (auto = 32x16 for GLOBAL, "
+                         "16x16 otherwise)")
+    ap.add_argument("--no-carry-bf16", action="store_true",
+                    help="disable bf16-packed backward cotangent carriers")
+    ap.add_argument("--no-rank-key", action="store_true",
+                    help="disable the packed rank-key sort")
     args = ap.parse_args(argv)
 
     bg = np.ones(3, np.float32) if args.white_bg else np.zeros(3, np.float32)
@@ -294,10 +305,23 @@ def main(argv=None):
                                     position_lr_max_steps=args.iters)
     state = init_train_state(model, optimizer)
     stats = init_densify_stats(args.capacity)
+    is_global = SortMode[args.sort_mode] == SortMode.GLOBAL
+    if args.tile == "auto":
+        tile_shape = (32, 16) if is_global else None
+    else:
+        tw, th = (int(v) for v in args.tile.split("x"))
+        tile_shape = None if (tw, th) == (16, 16) else (tw, th)
+    render_kwargs = dict(
+        tile_shape=tile_shape,
+        carry_bf16=is_global and not args.no_carry_bf16,
+        rank_key=is_global and not args.no_rank_key,
+    )
+    if any(render_kwargs.values()):
+        print(f"perf defaults: {render_kwargs}", flush=True)
     step_fn = jax.jit(make_train_step(
         optimizer, static=static, pair_capacity=args.pair_capacity,
         seg_cap=args.seg_cap, sh_ramp_every=args.sh_ramp_every,
-        interpret=args.interpret,
+        interpret=args.interpret, render_kwargs=render_kwargs,
     ))
     cam_arrays = [to_arrays(c) for c in cams]
     targets = jnp.asarray(targets)
@@ -310,7 +334,8 @@ def main(argv=None):
         for ca, tgt in zip(eval_arrays, eval_targets):
             img, *_ = render_model(
                 state.model, ca, static=static,
-                pair_capacity=args.pair_capacity, interpret=args.interpret)
+                pair_capacity=args.pair_capacity, interpret=args.interpret,
+                tile_shape=tile_shape)
             vals.append(float(psnr(img, tgt)))
         return sum(vals) / len(vals)
 

@@ -162,6 +162,7 @@ def make_train_step(
     seg_cap: int = 16384,
     sh_ramp_every: int = 0,
     interpret: bool = False,
+    render_kwargs: Optional[dict] = None,
 ):
     """Returns jittable (state, cam, target, stats) -> (state, stats, aux).
 
@@ -169,7 +170,12 @@ def make_train_step(
     schedule (one more band every N steps, up to ``static.sh_degree``):
     higher bands are masked out of the render — and therefore out of the
     gradients — until active. The step counter lives in TrainState, so the
-    ramp costs no retracing."""
+    ramp costs no retracing.
+
+    ``render_kwargs`` passes extra rasterize knobs through (tile_shape,
+    carry_bf16, rank_key — the measured, quality-gated winners the CLI
+    defaults to for GLOBAL-mode training)."""
+    render_kwargs = render_kwargs or {}
 
     def train_step(state: TrainState, cam: CameraArrays, target, stats):
         P = state.model.num_gaussians
@@ -191,6 +197,7 @@ def make_train_step(
                 model, cam, static=static, means2d_dummy=m2d,
                 pair_capacity=pair_capacity, pad_capacity=pad_capacity,
                 seg_cap=seg_cap, interpret=interpret, full_output=True,
+                **render_kwargs,
             )
             loss = rgb_loss(out.color, target, lambda_dssim)
             return loss, (out.radii, out.overflow, out.grad_overflow)

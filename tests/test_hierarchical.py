@@ -372,7 +372,9 @@ def test_hier_grouped_backward_matches_ungrouped(group, monkeypatch):
         return jnp.sum(img * wts)
 
     monkeypatch.setenv("STP_HIER_GROUP", "1")
+    monkeypatch.setenv("STP_HIER_GROUP_BWD", "1")
     g1 = jax.grad(loss)(scene.means3d)
     monkeypatch.setenv("STP_HIER_GROUP", str(group))
+    monkeypatch.setenv("STP_HIER_GROUP_BWD", str(group))
     g3 = jax.grad(loss)(scene.means3d)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))
