@@ -58,13 +58,14 @@ run gate_full 7200 python benchmarks/compile_gate.py
 P2="--width 800 --height 800 --gaussians 100000"
 run prof_hier_fwd 2400 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
 run prof_hier_g2_fwd 2400 env STP_HIER_GROUP=2 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
-run prof_hier_g4_fwd 2400 env STP_HIER_GROUP=4 python benchmarks/profile_step.py $P2 --mode HIER --fwd-only --top 12
+# (G=4 fwd removed: 64/8/4 at G=4 overflows the 16 MB Mosaic scoped-vmem
+# stack — results_r4/prof_hier_g4_fwd.log — and the knob is now clamped to 2)
 run prof_hier_g2 3600 env STP_HIER_GROUP=2 STP_HIER_GROUP_BWD=2 python benchmarks/profile_step.py $P2 --mode HIER --top 12
 run prof_hier_g4 3600 env STP_HIER_GROUP=4 STP_HIER_GROUP_BWD=4 python benchmarks/profile_step.py $P2 --mode HIER --top 12
 # mixed: grouped forward + ungrouped backward (grouping is value-exact, so
 # the VJP may mix; the backward's moment routing measured slower grouped)
-run prof_hier_g2b1 3600 env STP_HIER_GROUP=2 python benchmarks/profile_step.py $P2 --mode HIER --top 12
-run prof_hier_g4b1 3600 env STP_HIER_GROUP=4 python benchmarks/profile_step.py $P2 --mode HIER --top 12
+# (the mixed grouped-fwd/per-tile-bwd profile moved to wave 2 as
+# prof_hier_b — it is now simply the default configuration)
 
 # 2. the two stale decision points (VERDICT r3 #2)
 run quality_defaults 5400 python benchmarks/quality_defaults.py
@@ -93,5 +94,28 @@ run prof_rankkey 1200 python benchmarks/profile_step.py --rank-key --top 20
 P5="--width 1920 --height 1080 --gaussians 5000000 --scale-shift -3.3 --iters 3"
 run prof_global_5m_fwd 3600 python benchmarks/profile_step.py $P5 --fwd-only --top 25
 run prof_global_5m 3600 python benchmarks/profile_step.py $P5 --top 25
+
+# ------------------------------------------------------------------
+# Wave 2 (post routing-change commit 1f2f6e1): the split grouped backward
+# and the single one-hot moment routing landed AFTER wave 1 measured the
+# backwards, so re-verify + re-profile them, and re-run the 5M profile
+# with the quality-gated winners folded in.
+
+# correctness first: HIER on-chip verify + the all-modes execution gate
+# must PASS with the new routing
+run verify_hier2 3600 python benchmarks/verify_hier_onchip.py
+run exec_gate 7200 python benchmarks/execution_gate.py
+
+# fwd+bwd at the new defaults (G=2 fwd, per-tile bwd, new routing)
+run prof_hier_b 3600 python benchmarks/profile_step.py $P2 --mode HIER --top 12
+run prof_kbuf_b 2400 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 12
+
+# config-2 combo cost structure: where do the headline's 82 ms/iter go?
+run prof_combo 1800 python benchmarks/profile_step.py --tile 32x16 --carry-bf16 --rank-key --top 20
+
+# config-3 with the winners (tile32 + bf16): the wave-1 5M profile ran the
+# reference-parity config only
+run prof_global_5m_opt_fwd 3600 python benchmarks/profile_step.py $P5 --tile 32x16 --carry-bf16 --fwd-only --top 25
+run prof_global_5m_opt 3600 python benchmarks/profile_step.py $P5 --tile 32x16 --carry-bf16 --top 25
 
 echo "SWEEP COMPLETE $(date)"

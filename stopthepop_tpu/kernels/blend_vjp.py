@@ -89,7 +89,7 @@ def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
     import os
 
     if group is None:
-        group = int(os.environ.get("STP_KB_GROUP", "1"))
+        group = int(os.environ.get("STP_KB_GROUP", "2"))
     if group_bwd is None:
         group_bwd = int(os.environ.get("STP_KB_GROUP_BWD", "1"))
 
@@ -169,7 +169,9 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
     import os
 
     if group is None:
-        group = int(os.environ.get("STP_HIER_GROUP", "1"))
+        # Clamp at 2: G=4 at 64/8/4 overflows the 16 MB Mosaic scoped-vmem
+        # stack on v5e (gate_full r4).
+        group = min(2, int(os.environ.get("STP_HIER_GROUP", "2")))
     if group_bwd is None:
         group_bwd = int(os.environ.get("STP_HIER_GROUP_BWD", "1"))
 

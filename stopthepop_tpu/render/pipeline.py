@@ -256,7 +256,9 @@ def render_tiled_kbuffer(
     ).astype(jnp.float32)
     blend = make_blend_kbuffer(
         grid_x, grid_y, k, image_width, image_height, chunk, seg_cap,
-        interpret, group=int(os.environ.get("STP_KB_GROUP", "1")),
+        # G=2 forward is the measured on-chip winner (33.6 -> 21.4 ms at
+        # config 2, results_r4/prof_kbuf_g*_fwd); backward stays per-tile.
+        interpret, group=int(os.environ.get("STP_KB_GROUP", "2")),
         group_bwd=int(os.environ.get("STP_KB_GROUP_BWD", "1")),
     )
     packed = blend(payload, segs.starts, segs.counts, bg, cam)
@@ -382,8 +384,11 @@ def render_tiled_hier(
         grid_x, grid_y, tuple(queue_sizes), image_width, image_height,
         hier_4x4_culling, chunk, seg_cap, interpret,
         batched_cascade=batched_cascade,
+        # G=2 forward is the measured on-chip winner (182 -> 122 ms at
+        # config 2, results_r4/prof_hier_g2_fwd); G=4 exceeds the 16 MB
+        # Mosaic scoped-vmem stack at 64/8/4 (gate_full r4), so clamp.
         group=(1 if batched_cascade
-               else int(os.environ.get("STP_HIER_GROUP", "1"))),
+               else min(2, int(os.environ.get("STP_HIER_GROUP", "2")))),
         group_bwd=(1 if batched_cascade
                    else int(os.environ.get("STP_HIER_GROUP_BWD", "1"))),
     )
