@@ -169,9 +169,11 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
     import os
 
     if group is None:
-        # Clamp at 2: G=4 at 64/8/4 overflows the 16 MB Mosaic scoped-vmem
-        # stack on v5e (gate_full r4).
-        group = min(2, int(os.environ.get("STP_HIER_GROUP", "2")))
+        # Clamp at 2 on the chip: G>=4 at 64/8/4 overflows the 16 MB Mosaic
+        # scoped-vmem stack on v5e (gate_full r4); interpret has no stack.
+        group = int(os.environ.get("STP_HIER_GROUP", "2"))
+        if not interpret:
+            group = min(2, group)
     if group_bwd is None:
         group_bwd = int(os.environ.get("STP_HIER_GROUP_BWD", "1"))
 

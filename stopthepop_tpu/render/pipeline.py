@@ -385,10 +385,12 @@ def render_tiled_hier(
         hier_4x4_culling, chunk, seg_cap, interpret,
         batched_cascade=batched_cascade,
         # G=2 forward is the measured on-chip winner (182 -> 122 ms at
-        # config 2, results_r4/prof_hier_g2_fwd); G=4 exceeds the 16 MB
-        # Mosaic scoped-vmem stack at 64/8/4 (gate_full r4), so clamp.
+        # config 2, results_r4/prof_hier_g2_fwd); G>=4 exceeds the 16 MB
+        # Mosaic scoped-vmem stack at 64/8/4 (gate_full r4), so clamp on
+        # the chip (interpret mode has no vmem stack — tests cover G=3).
         group=(1 if batched_cascade
-               else min(2, int(os.environ.get("STP_HIER_GROUP", "2")))),
+               else (lambda g: g if interpret else min(2, g))(
+                   int(os.environ.get("STP_HIER_GROUP", "2")))),
         group_bwd=(1 if batched_cascade
                    else int(os.environ.get("STP_HIER_GROUP_BWD", "1"))),
     )

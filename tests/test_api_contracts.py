@@ -71,7 +71,7 @@ def test_seg_cap_overflow_flag_fires():
     out = _render(scene, rs, full_output=True, seg_cap=128)
     assert bool(out.grad_overflow)
     # A generous seg_cap clears the flag on the same scene.
-    out2 = _render(scene, rs, full_output=True, seg_cap=16384)
+    out2 = _render(scene, rs, full_output=True, seg_cap=2048)
     assert not bool(out2.grad_overflow)
 
 
@@ -190,7 +190,7 @@ def test_seg_cap_truncated_grads_are_zero_and_finite():
     assert bool(jnp.isfinite(g_small).all())
     # Plenty of cap: same scene, full gradients — also finite, and the
     # truncated variant must not contain garbage-scale values.
-    g_big = jax.grad(lambda m: loss(m, 16384))(scene.means3d)
+    g_big = jax.grad(lambda m: loss(m, 2048))(scene.means3d)
     assert bool(jnp.isfinite(g_big).all())
     assert float(jnp.abs(g_small).max()) <= 10 * float(
         jnp.abs(g_big).max()

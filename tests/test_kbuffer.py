@@ -136,8 +136,17 @@ def test_kbuffer_grouped_tiles_match_ungrouped(group, monkeypatch):
         np.testing.assert_array_equal(b, o)
 
 
-@pytest.mark.parametrize("group", [3])
-def test_kbuffer_grouped_backward_matches_ungrouped(group, monkeypatch):
+@pytest.mark.parametrize(
+    "group, group_bwd",
+    [
+        # The shipping default: grouped forward, per-tile backward replay.
+        (2, 1),
+        # Fully grouped backward (non-default) with grid padding (20 % 3).
+        pytest.param(3, 3, marks=pytest.mark.slow),
+    ],
+)
+def test_kbuffer_grouped_backward_matches_ungrouped(group, group_bwd,
+                                                    monkeypatch):
     """The grouped replay's per-tile moment routing + writeback must give
     bit-identical gradients to the one-tile-per-step backward."""
     from stopthepop_tpu.config import (ExtendedSettings,
@@ -172,6 +181,6 @@ def test_kbuffer_grouped_backward_matches_ungrouped(group, monkeypatch):
     monkeypatch.setenv("STP_KB_GROUP_BWD", "1")
     g1 = jax.grad(loss)(scene.means3d)
     monkeypatch.setenv("STP_KB_GROUP", str(group))
-    monkeypatch.setenv("STP_KB_GROUP_BWD", str(group))
+    monkeypatch.setenv("STP_KB_GROUP_BWD", str(group_bwd))
     g3 = jax.grad(loss)(scene.means3d)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))
