@@ -128,8 +128,14 @@ def main():
             }), flush=True)
 
     if args.small:
-        # Analytic out-of-order mass of the GLOBAL order (O(P*pixels)).
+        # Per-mode out-of-order blending mass (the reference's SortError
+        # debug metric, stopthepop_common.cuh:264-282): analytic replay for
+        # the GLOBAL orders, actual pop-order accumulation in the oracles
+        # for the resort modes. O(P*pixels) — small scenes only.
         from stopthepop_tpu.render.debug_viz import sort_error_maps
+        from stopthepop_tpu.render.naive import (
+            render_hierarchical_naive, render_kbuffer_naive,
+        )
         from stopthepop_tpu.render.preprocess import preprocess
 
         prep = preprocess(
@@ -139,15 +145,41 @@ def main():
             campos=cam.campos, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
             image_width=width, image_height=height, sh_degree=0,
         )
-        err_op, err_dist = sort_error_maps(
-            prep, width, height, cam.campos, cam.inv_viewprojmatrix
-        )
-        print(json.dumps({
-            "case": "GLOBAL sort-error (analytic)",
-            "mean_err_opacity": round(float(jnp.mean(err_op)), 5),
-            "max_err_opacity": round(float(jnp.max(err_op)), 4),
-            "mean_err_distance": round(float(jnp.mean(err_dist)), 5),
-        }), flush=True)
+        bg = jnp.zeros(3)
+
+        def emit_sort_error(name, err_op, err_dist):
+            print(json.dumps({
+                "case": f"sort-error {name}",
+                "mean_err_opacity": round(float(jnp.mean(err_op)), 5),
+                "max_err_opacity": round(float(jnp.max(err_op)), 4),
+                "mean_err_distance": round(float(jnp.mean(err_dist)), 5),
+            }), flush=True)
+
+        for oname in ("Z_DEPTH", "PTD_CENTER", "PTD_MAX"):
+            err_op, err_dist = sort_error_maps(
+                prep, width, height, cam.campos, cam.inv_viewprojmatrix,
+                sort_order=GlobalSortOrder[oname],
+            )
+            emit_sort_error(f"GLOBAL {oname}", err_op, err_dist)
+        for kname, k, order in (
+            ("KBUFFER k=4", 4, GlobalSortOrder.Z_DEPTH),
+            ("KBUFFER k=16", 16, GlobalSortOrder.Z_DEPTH),
+            ("PTD_MAX + KBUFFER k=4", 4, GlobalSortOrder.PTD_MAX),
+        ):
+            _, _, _, err_op, err_dist = render_kbuffer_naive(
+                prep, bg, width, height, cam.campos,
+                cam.inv_viewprojmatrix, k=k, sort_order=order,
+                sort_error=True,
+            )
+            emit_sort_error(kname, err_op, err_dist)
+        for hname, hq in (("HIER 64/8/4", (64, 8, 4)),
+                          ("HIER 16/8/4", (16, 8, 4))):
+            _, _, _, err_op, err_dist = render_hierarchical_naive(
+                prep, bg, width, height, cam.campos,
+                cam.inv_viewprojmatrix, queue_sizes=hq,
+                sort_order=GlobalSortOrder.PTD_MAX, sort_error=True,
+            )
+            emit_sort_error(hname, err_op, err_dist)
 
 
 if __name__ == "__main__":

@@ -94,15 +94,24 @@ def sort_error_maps(
     height: int,
     campos: jnp.ndarray,
     inverse_vp: jnp.ndarray,
+    sort_order=None,
 ):
-    """(error_opacity [H, W], error_distance [H, W]) of the GLOBAL order.
+    """(error_opacity [H, W], error_distance [H, W]) of a GLOBAL-mode order.
 
-    Per pixel, contributions are replayed in global depth order; whenever a
-    committed contribution has a smaller per-ray depth than the running
-    maximum of prior committed contributions, its opacity (resp. its depth
-    gap, opacity-weighted) is accumulated — the paper's measure of how much
-    mass is blended out of order.
+    Per pixel, contributions are replayed in the mode's stream order
+    (``sort_order``: Z_DEPTH default, PTD_CENTER / PTD_MAX per-tile keys);
+    whenever a committed contribution has a smaller per-ray depth than the
+    running maximum of prior committed contributions, its opacity (resp.
+    its depth gap, opacity-weighted) is accumulated — the paper's measure
+    of how much mass is blended out of order. The resort modes' maps come
+    from their oracles (naive.render_{kbuffer,hierarchical}_naive with
+    sort_error=True), which replay the actual pop order.
     """
+    from ..config import GlobalSortOrder
+    from .naive import pair_stream_keys
+
+    if sort_order is None:
+        sort_order = GlobalSortOrder.Z_DEPTH
     N = width * height
     pix = _pixel_grid(width, height)
     pix_tile = jnp.stack(
@@ -112,23 +121,29 @@ def sort_error_maps(
         ],
         axis=-1,
     )
-    depth_sort = jnp.where(prep.valid, prep.depth, jnp.inf)
-    order = jnp.argsort(depth_sort)
 
-    alpha, skip = _alpha(prep.conic_opacity[order], prep.mean2d[order], pix)
+    alpha, skip = _alpha(prep.conic_opacity, prep.mean2d, pix)
     in_rect = (
-        (pix_tile[None, :, 0] >= prep.rect_min[order][:, None, 0])
-        & (pix_tile[None, :, 0] < prep.rect_max[order][:, None, 0])
-        & (pix_tile[None, :, 1] >= prep.rect_min[order][:, None, 1])
-        & (pix_tile[None, :, 1] < prep.rect_max[order][:, None, 1])
+        (pix_tile[None, :, 0] >= prep.rect_min[:, None, 0])
+        & (pix_tile[None, :, 0] < prep.rect_max[:, None, 0])
+        & (pix_tile[None, :, 1] >= prep.rect_min[:, None, 1])
+        & (pix_tile[None, :, 1] < prep.rect_max[:, None, 1])
     )
     a_eff = jnp.where(
-        skip | ~in_rect | ~prep.valid[order][:, None], 0.0, alpha
+        skip | ~in_rect | ~prep.valid[:, None], 0.0, alpha
     )
+    stream_key = pair_stream_keys(
+        prep, pix_tile, sort_order, campos, inverse_vp, width, height
+    )  # [P, N] ([P, 1]-broadcast for the depth orders)
+    stream_key = jnp.where(a_eff > 0.0, stream_key, jnp.inf)
+    stream_key = jnp.broadcast_to(stream_key, a_eff.shape)
+    order = jnp.argsort(stream_key, axis=0, stable=True)  # [P, N]
+    a_eff = jnp.take_along_axis(a_eff, order, axis=0)
     viewdir = compute_view_ray(pix, width, height, inverse_vp, campos)
     ray_d = depth_along_ray(
-        prep.cov3d_inv9[order][:, None, :], viewdir[None, :, :]
+        prep.cov3d_inv9[:, None, :], viewdir[None, :, :]
     )  # [P, N]
+    ray_d = jnp.take_along_axis(ray_d, order, axis=0)
 
     # Committed mask via the masked-cumprod transmittance recurrence.
     from ..constants import T_THRESHOLD

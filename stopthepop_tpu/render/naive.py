@@ -276,15 +276,40 @@ def render_full_sort_naive(
 #   at stream end the window is drained front-to-back with the same blending.
 
 
-def _kbuffer_pop(win, fill, T, C, nc, done, popm):
+def _accum_sort_error(serr, commit, alpha, depth):
+    """Reference sort-error accumulation (stopthepop_common.cuh:264-282):
+    for each committed contribution whose per-ray depth is below the
+    running max of prior committed depths, add its opacity (resp. the
+    depth gap) to the per-pixel error. ``serr = (dmax, eop, edist)``,
+    all [N]; pass None to skip."""
+    if serr is None:
+        return None
+    dmax, eop, edist = serr
+    real = commit & (alpha > 0.0)
+    ooo = real & (depth < dmax)
+    eop = eop + jnp.where(ooo, alpha, 0.0)
+    edist = edist + jnp.where(ooo, dmax - depth, 0.0)
+    dmax = jnp.where(real, jnp.maximum(dmax, depth), dmax)
+    return dmax, eop, edist
+
+
+def _init_sort_error(N):
+    return (
+        jnp.full((N,), -jnp.inf), jnp.zeros((N,)), jnp.zeros((N,)),
+    )
+
+
+def _kbuffer_pop(win, fill, T, C, nc, done, popm, serr=None):
     """Pop the front window entry and blend it where ``popm``.
 
-    win = (d, a, r, g, b) arrays [K, N]; scalars [N]. Returns updated state.
+    win = (d, a, r, g, b) arrays [K, N]; scalars [N]. Returns updated state
+    (plus the updated sort-error accumulator when ``serr`` is given).
     """
     d, a, r, g, b = win
     a0, r0, g0, b0 = a[0], r[0], g[0], b[0]
     U = T * (1.0 - a0)
     commit = popm & ~done & (U >= T_THRESHOLD)
+    serr = _accum_sort_error(serr, commit, a0, d[0])
     done = done | (popm & (U < T_THRESHOLD))
     w = jnp.where(commit, a0 * T, 0.0)
     C = C + w[:, None] * jnp.stack([r0, g0, b0], axis=-1)
@@ -298,7 +323,9 @@ def _kbuffer_pop(win, fill, T, C, nc, done, popm):
     win = (shift(d, jnp.inf), shift(a, 0.0), shift(r, 0.0), shift(g, 0.0),
            shift(b, 0.0))
     fill = fill - popm.astype(fill.dtype)
-    return win, fill, T, C, nc, done
+    if serr is None:
+        return win, fill, T, C, nc, done
+    return win, fill, T, C, nc, done, serr
 
 
 def _kbuffer_insert(win, fill, v, d_new, a_new, rgb_new):
@@ -424,7 +451,8 @@ def render_global_order_naive(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "k", "sort_order", "tile_based_culling"),
+    static_argnames=("width", "height", "k", "sort_order",
+                     "tile_based_culling", "sort_error"),
 )
 def render_kbuffer_naive(
     prep: PreprocessOutput,
@@ -436,8 +464,12 @@ def render_kbuffer_naive(
     k: int = 4,
     sort_order: GlobalSortOrder = GlobalSortOrder.Z_DEPTH,
     tile_based_culling: bool = False,
+    sort_error: bool = False,
 ):
-    """PER_PIXEL_KBUFFER oracle. Returns (color [3,H,W], final_T, n_contrib)."""
+    """PER_PIXEL_KBUFFER oracle. Returns (color [3,H,W], final_T, n_contrib);
+    with ``sort_error=True`` additionally (err_opacity [H,W],
+    err_distance [H,W]) — the reference's out-of-order blending measure
+    accumulated in this mode's actual pop order."""
     P = prep.mean2d.shape[0]
     N = width * height
     pix = _pixel_grid(width, height)
@@ -496,32 +528,37 @@ def render_kbuffer_naive(
         jnp.zeros((N, 3), jnp.float32),  # C
         jnp.zeros((N,), jnp.int32),      # n_contrib
         jnp.zeros((N,), bool),           # done latch
+        _init_sort_error(N),             # (dmax, err_op, err_dist)
     )
 
     def step(state, inputs):
         a_i, d_i, rgb_i = inputs
-        win, fill, T, C, nc, done = state
+        win, fill, T, C, nc, done, serr = state
         v = a_i > 0.0
         popm = (fill == k) & v
-        win, fill, T, C, nc, done = _kbuffer_pop(
-            win, fill, T, C, nc, done, popm
+        win, fill, T, C, nc, done, serr = _kbuffer_pop(
+            win, fill, T, C, nc, done, popm, serr
         )
         win, fill = _kbuffer_insert(win, fill, v, d_i, a_i, rgb_i)
-        return (win, fill, T, C, nc, done), None
+        return (win, fill, T, C, nc, done, serr), None
 
     state, _ = jax.lax.scan(step, state0, (alpha_s, depth_s, rgb_s))
 
     def drain(state, _):
-        win, fill, T, C, nc, done = state
+        win, fill, T, C, nc, done, serr = state
         popm = fill > 0
-        win, fill, T, C, nc, done = _kbuffer_pop(
-            win, fill, T, C, nc, done, popm
+        win, fill, T, C, nc, done, serr = _kbuffer_pop(
+            win, fill, T, C, nc, done, popm, serr
         )
-        return (win, fill, T, C, nc, done), None
+        return (win, fill, T, C, nc, done, serr), None
 
     state, _ = jax.lax.scan(drain, state, None, length=k)
-    _, _, T, C, nc, _ = state
-    return _finalize(C, T, bg, width, height), T, nc
+    _, _, T, C, nc, _, (_, eop, edist) = state
+    out = (_finalize(C, T, bg, width, height), T, nc)
+    if sort_error:
+        out = out + (eop.reshape(height, width),
+                     edist.reshape(height, width))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -609,7 +646,7 @@ def quad_center(pix):
     jax.jit,
     static_argnames=(
         "width", "height", "queue_sizes", "sort_order", "tile_based_culling",
-        "hier_4x4_culling", "batched_cascade",
+        "hier_4x4_culling", "batched_cascade", "sort_error",
     ),
 )
 def render_hierarchical_naive(
@@ -624,8 +661,11 @@ def render_hierarchical_naive(
     tile_based_culling: bool = False,
     hier_4x4_culling: bool = False,
     batched_cascade: bool = False,
+    sort_error: bool = False,
 ):
-    """HIERARCHICAL oracle. Returns (color [3,H,W], final_T, n_contrib).
+    """HIERARCHICAL oracle. Returns (color [3,H,W], final_T, n_contrib);
+    ``sort_error=True`` (per-entry cascade only) appends the reference's
+    (err_opacity, err_distance) [H,W] maps accumulated in head-pop order.
 
     ``batched_cascade`` mirrors the kernel's batched mid/head cadence
     (hier_blend._win_round): entries move through mid and head in sorted
@@ -709,10 +749,12 @@ def render_hierarchical_naive(
     mid0 = empty_win(km, ("dh", "a", "r", "g", "b"))
     head0 = empty_win(kh, ("a", "r", "g", "b"))
 
-    def push_head(mid, head, fh, T, C, nc, done, pop_m):
+    def push_head(mid, head, fh, T, C, nc, done, pop_m, serr=None):
         e_m = _hwin_front(mid)
         pop_h = pop_m & (fh == kh)
         e_h = _hwin_front(head)
+        commit = pop_h & ~done & (T * (1.0 - e_h["a"]) >= T_THRESHOLD)
+        serr = _accum_sort_error(serr, commit, e_h["a"], e_h["key"])
         T, C, nc, done = _blend_one(
             T, C, nc, done, pop_h, e_h["a"], e_h["r"], e_h["g"], e_h["b"]
         )
@@ -724,7 +766,9 @@ def render_hierarchical_naive(
              "b": e_m["b"]},
         )
         fh = fh + pop_m.astype(fh.dtype)
-        return head, fh, T, C, nc, done
+        if serr is None:
+            return head, fh, T, C, nc, done
+        return head, fh, T, C, nc, done, serr
 
     # --- Batched tail (matches the Pallas kernel's sort+merge tail) ------
     #
@@ -762,6 +806,11 @@ def render_hierarchical_naive(
                                                   "b")})
 
     if batched_cascade:
+        if sort_error:
+            raise NotImplementedError(
+                "sort_error maps: per-entry cascade only (batched cascade "
+                "is parked — see verify_batched_cascade.py)"
+            )
         from ..kernels.hier_blend import CASC_BATCH as Bc
 
         mid0b = {"key": jnp.full((km, N), -jnp.inf)}
@@ -863,11 +912,11 @@ def render_hierarchical_naive(
         return _finalize(C, T, bg, width, height), T, nc
 
     def cascade_entry(carry, e):
-        mid, head, fm, fh, T, C, nc, done = carry
+        mid, head, fm, fh, T, C, nc, done, serr = carry
         v = jnp.isfinite(e["key"])
         pop_m = v & (fm == km)
-        head, fh, T, C, nc, done = push_head(
-            mid, head, fh, T, C, nc, done, pop_m
+        head, fh, T, C, nc, done, serr = push_head(
+            mid, head, fh, T, C, nc, done, pop_m, serr
         )
         mid = _hwin_shift(mid, pop_m)
         fm = fm - pop_m.astype(fm.dtype)
@@ -877,26 +926,26 @@ def render_hierarchical_naive(
              "g": e["g"], "b": e["b"]},
         )
         fm = fm + v.astype(fm.dtype)
-        return (mid, head, fm, fh, T, C, nc, done), None
+        return (mid, head, fm, fh, T, C, nc, done, serr), None
 
     def tail_batch(state, batch):
-        hold, mid, head, fm, fh, T, C, nc, done = state
+        hold, mid, head, fm, fh, T, C, nc, done, serr = state
         cat = {f: jnp.concatenate([hold[f], batch[f]], axis=0)
                for f in hold}
         order = jnp.argsort(cat["key"], axis=0, stable=True)
         srt = {f: jnp.take_along_axis(cat[f], order, axis=0) for f in cat}
         emit = {f: v[:B] for f, v in srt.items()}
         hold = {f: v[B:] for f, v in srt.items()}
-        (mid, head, fm, fh, T, C, nc, done), _ = jax.lax.scan(
-            cascade_entry, (mid, head, fm, fh, T, C, nc, done), emit
+        (mid, head, fm, fh, T, C, nc, done, serr), _ = jax.lax.scan(
+            cascade_entry, (mid, head, fm, fh, T, C, nc, done, serr), emit
         )
-        return (hold, mid, head, fm, fh, T, C, nc, done), None
+        return (hold, mid, head, fm, fh, T, C, nc, done, serr), None
 
     zi = jnp.zeros((N,), jnp.int32)
     state = (
         hold0, mid0, head0, zi, zi,
         jnp.ones((N,), jnp.float32), jnp.zeros((N, 3), jnp.float32),
-        zi, jnp.zeros((N,), bool),
+        zi, jnp.zeros((N,), bool), _init_sort_error(N),
     )
     state, _ = jax.lax.scan(tail_batch, state, batched)
 
@@ -908,32 +957,38 @@ def render_hierarchical_naive(
         state, _ = tail_batch(
             state, drain_in
         )
-    _, mid, head, fm, fh, T, C, nc, done = state
+    _, mid, head, fm, fh, T, C, nc, done, serr = state
 
     def drain_mid(state, _):
-        mid, head, fm, fh, T, C, nc, done = state
+        mid, head, fm, fh, T, C, nc, done, serr = state
         pop_m = fm > 0
-        head, fh, T, C, nc, done = push_head(
-            mid, head, fh, T, C, nc, done, pop_m
+        head, fh, T, C, nc, done, serr = push_head(
+            mid, head, fh, T, C, nc, done, pop_m, serr
         )
         mid = _hwin_shift(mid, pop_m)
         fm = fm - pop_m.astype(fm.dtype)
-        return (mid, head, fm, fh, T, C, nc, done), None
+        return (mid, head, fm, fh, T, C, nc, done, serr), None
 
-    state = (mid, head, fm, fh, T, C, nc, done)
+    state = (mid, head, fm, fh, T, C, nc, done, serr)
     state, _ = jax.lax.scan(drain_mid, state, None, length=km)
 
     def drain_head(state, _):
-        mid, head, fm, fh, T, C, nc, done = state
+        mid, head, fm, fh, T, C, nc, done, serr = state
         pop_h = fh > 0
         e_h = _hwin_front(head)
+        commit = pop_h & ~done & (T * (1.0 - e_h["a"]) >= T_THRESHOLD)
+        serr = _accum_sort_error(serr, commit, e_h["a"], e_h["key"])
         T, C, nc, done = _blend_one(
             T, C, nc, done, pop_h, e_h["a"], e_h["r"], e_h["g"], e_h["b"]
         )
         head = _hwin_shift(head, pop_h)
         fh = fh - pop_h.astype(fh.dtype)
-        return (mid, head, fm, fh, T, C, nc, done), None
+        return (mid, head, fm, fh, T, C, nc, done, serr), None
 
     state, _ = jax.lax.scan(drain_head, state, None, length=kh)
-    _, _, _, _, T, C, nc, _ = state
-    return _finalize(C, T, bg, width, height), T, nc
+    _, _, _, _, T, C, nc, _, (_, eop, edist) = state
+    out = (_finalize(C, T, bg, width, height), T, nc)
+    if sort_error:
+        out = out + (eop.reshape(height, width),
+                     edist.reshape(height, width))
+    return out
