@@ -50,26 +50,35 @@ def main():
                     help="48x48/300 Gaussians smoke scale (CPU interpret ok)")
     ap.add_argument("--seg-full", type=int, default=4096,
                     help="full-sort per-tile segment bound")
-    ap.add_argument("--scene", choices=("lego", "overlap"), default="lego",
+    ap.add_argument("--scene", choices=("lego", "overlap", "overlap-mild"),
+                    default="lego",
                     help="lego: config-2 scale (small splats, near-exact "
                          "orders); overlap: fewer but LARGE interpenetrating "
                          "semi-transparent splats — the paper's popping "
                          "scenario, where GLOBAL visibly misorders and the "
-                         "resort ladder separates")
+                         "resort ladder separates; overlap-mild: shallower "
+                         "stacks whose inversions fit the resort windows, "
+                         "separating HIER from its bare PTD order")
     args = ap.parse_args()
 
     if args.small:
         width = height = 48
         num_gaussians, scale_shift, capacity = 300, -1.0, 4096
+        if args.scene == "overlap":
+            # Few LARGE interpenetrating splats at smoke scale.
+            num_gaussians, scale_shift = 40, 0.2
     elif args.scene == "overlap":
         width = height = 800
         num_gaussians, scale_shift, capacity = 20_000, -0.7, 3_000_000
+    elif args.scene == "overlap-mild":
+        width = height = 800
+        num_gaussians, scale_shift, capacity = 2_000, -0.3, 1_500_000
     else:
         width = height = 800
         num_gaussians, scale_shift, capacity = 100_000, -2.0, 1_200_000
 
     cam, model, cams = _scene(width, height, num_gaussians, scale_shift)
-    if args.scene == "overlap" and not args.small:
+    if args.scene.startswith("overlap"):
         # Soften opacities so deep stacks stay unsaturated: more of each
         # ray's order matters, which is exactly what stresses the ladder.
         model = model._replace(
