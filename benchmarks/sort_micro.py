@@ -96,6 +96,21 @@ def main():
             vary(i, a[1])).sum(),
         "gather n x 9 rows": lambda i, a: (a[4] + vary(i, a[1])[:, None])[
             a[3]].sum(),
+        # Row-gather WIDTH scaling (round 4): does the 23.6 ns/row cost
+        # follow the row byte-width or the row count? Decides whether
+        # packing the forward payload (10 f32 -> 5 bf16-pair carriers)
+        # buys anything on the dominant config-3 op.
+        "gather n x 1 rows": lambda i, a: (
+            a[4][:, :1] + vary(i, a[1])[:, None])[a[3]].sum(),
+        "gather n x 2 rows": lambda i, a: (
+            a[4][:, :2] + vary(i, a[1])[:, None])[a[3]].sum(),
+        "gather n x 5 rows": lambda i, a: (
+            a[4][:, :5] + vary(i, a[1])[:, None])[a[3]].sum(),
+        "gather n x 18 rows": lambda i, a: (jnp.concatenate(
+            [a[4], a[4]], axis=1) + vary(i, a[1])[:, None])[a[3]].sum(),
+        "gather n x 5 rows i32": lambda i, a: (
+            a[4][:, :5].astype(jnp.int32) + (i % 2))[a[3]].sum()
+            .astype(jnp.float32),
         "tile histogram (scatter-add)": lambda i, a: jnp.zeros(
             (T,), jnp.int32).at[a[0]].add(1, mode="drop").sum()
             + vary(i, a[1]).sum() * 0,
