@@ -50,6 +50,10 @@ if __name__ == "__main__":
     _backend_or_die(int(os.environ.get("STP_BENCH_PROBE_S", "180")))
 
 import jax
+
+from stopthepop_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from stopthepop_tpu.config import ExtendedSettings, GaussianRasterizationSettings

@@ -30,6 +30,10 @@ import sys
 import time
 
 import jax
+
+from stopthepop_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from stopthepop_tpu.config import (

@@ -33,6 +33,10 @@ import sys
 import time
 
 import jax
+
+from stopthepop_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,8 +99,12 @@ def cells():
          {"STP_KB_GROUP": "4", "STP_KB_GROUP_BWD": "4"}, True),
         ("HIER 16/8/4", dict(mode=HI, order=PTD, hq=(16, 8, 4)), {}, {},
          True),
-        ("HIER 16/8/4 G=3", dict(mode=HI, order=PTD, hq=(16, 8, 4)), {},
-         {"STP_HIER_GROUP": "3", "STP_HIER_GROUP_BWD": "3"}, True),
+        # On chip the forward group clamps to 2 (tuning.resolve_hier_groups:
+        # G>=4 at 64/8/4 overflows the Mosaic scoped-vmem stack), so this
+        # cell truly exercises forward G=2 with backward G=3 — the label
+        # says so (round-4 advice: the old "G=3" name overstated coverage).
+        ("HIER 16/8/4 G=2fwd/3bwd", dict(mode=HI, order=PTD, hq=(16, 8, 4)),
+         {}, {"STP_HIER_GROUP": "3", "STP_HIER_GROUP_BWD": "3"}, True),
         # bcasc's reference is the (gated) TPU per-entry kernel: its CPU
         # interpret graph is too large to compile (the reason
         # verify_batched_cascade.py exists).

@@ -25,6 +25,10 @@ import re
 import tempfile
 
 import jax
+
+from stopthepop_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from stopthepop_tpu.config import (

@@ -20,6 +20,10 @@ import argparse
 import json
 
 import jax
+
+from stopthepop_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 import optax
 

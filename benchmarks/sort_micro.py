@@ -31,6 +31,10 @@ import shutil
 import tempfile
 
 import jax
+
+from stopthepop_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from profile_step import device_exclusive_totals  # noqa: E402 (sibling)

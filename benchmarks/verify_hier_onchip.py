@@ -23,6 +23,10 @@ Exit code 0 = the production HIER path is trustworthy on the chip.
 import sys
 
 import jax
+
+from stopthepop_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 import numpy as np
 

@@ -66,12 +66,37 @@ def make_blend_global(grid_x: int, grid_y: int, chunk: int, interpret: bool,
     return blend
 
 
-@functools.lru_cache(maxsize=None)
 def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
                        height: int, chunk: int, seg_cap: int,
                        interpret: bool, group: int = None,
-                       group_bwd: int = None):
+                       group_bwd: int = None, route_precision=None):
     """Differentiable k-buffer blend for one static config.
+
+    Env-dependent knobs (lane-width groups, routing precision) are resolved
+    HERE, outside the lru cache, so a changed env var is honored on the
+    next trace instead of freezing at the first call (round-4 advice); the
+    cached inner factory takes only explicit values.
+    """
+    from .tuning import resolve_kb_groups, resolve_route_precision
+
+    g_env, gb_env = resolve_kb_groups(interpret)
+    if group is None:
+        group = g_env
+    if group_bwd is None:
+        group_bwd = gb_env
+    if route_precision is None:
+        route_precision = resolve_route_precision()
+    return _make_blend_kbuffer(grid_x, grid_y, k, width, height, chunk,
+                               seg_cap, interpret, group, group_bwd,
+                               route_precision)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
+                        height: int, chunk: int, seg_cap: int,
+                        interpret: bool, group: int, group_bwd: int,
+                        route_precision):
+    """Cached inner factory (all-explicit args).
 
     Gradients flow to the payload's blendable rows (xy, conic, opacity, rgb)
     and to bg; the inverse-covariance rows get zero gradient (per-ray depth
@@ -79,19 +104,6 @@ def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
     emits no depth gradients), and so does the camera vector.
     """
     from .kbuffer_blend import blend_kbuffer_backward, blend_kbuffer_forward
-
-    # Tiles blended per grid step (lane axis = group x 256): amortizes the
-    # sequential window loop's instruction issue across count-matched tiles.
-    # The backward's group is independent (grouping is value-exact): its
-    # per-pop moment routing scales WITH the lane width and measured slower
-    # grouped (round 4: fwd 33.6 -> 21.4 ms at G=2, bwd 106 -> 139 ms), so
-    # it defaults to 1.
-    import os
-
-    if group is None:
-        group = int(os.environ.get("STP_KB_GROUP", "2"))
-    if group_bwd is None:
-        group_bwd = int(os.environ.get("STP_KB_GROUP_BWD", "1"))
 
     @jax.custom_vjp
     def blend(payload, starts, counts, bg, cam):
@@ -111,7 +123,7 @@ def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
             payload, packed, g_packed, starts, counts, bg, cam,
             grid_x=grid_x, grid_y=grid_y, k=k, width=width, height=height,
             chunk=chunk, seg_cap=seg_cap, group=group_bwd,
-            interpret=interpret,
+            route_precision=route_precision, interpret=interpret,
         )
         dpay = _zero_unwritten(dpay, counts, chunk)
         d_bg = jnp.einsum("tcp,tp->c", g_packed[:, 0:3, :], packed[:, 3, :])
@@ -146,13 +158,37 @@ def _zero_unwritten(dpay, counts, chunk):
     )
 
 
-@functools.lru_cache(maxsize=None)
 def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
                     height: int, hier_4x4_culling: bool, chunk: int,
                     seg_cap: int, interpret: bool,
                     batched_cascade: bool = False, group: int = None,
-                    group_bwd: int = None):
+                    group_bwd: int = None, route_precision=None):
     """Differentiable hierarchical blend for one static config.
+
+    Env knobs resolve here, outside the lru cache (see make_blend_kbuffer);
+    the on-chip group clamp lives in tuning.resolve_hier_groups.
+    """
+    from .tuning import resolve_hier_groups, resolve_route_precision
+
+    g_env, gb_env = resolve_hier_groups(interpret)
+    if group is None:
+        group = g_env
+    if group_bwd is None:
+        group_bwd = gb_env
+    if route_precision is None:
+        route_precision = resolve_route_precision()
+    return _make_blend_hier(grid_x, grid_y, queue_sizes, width, height,
+                            hier_4x4_culling, chunk, seg_cap, interpret,
+                            batched_cascade, group, group_bwd,
+                            route_precision)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
+                     height: int, hier_4x4_culling: bool, chunk: int,
+                     seg_cap: int, interpret: bool, batched_cascade: bool,
+                     group: int, group_bwd: int, route_precision):
+    """Cached inner factory (all-explicit args).
 
     Same gradient surface as the k-buffer blend: payload blendable rows + bg;
     depth keys and camera get zero gradient (discrete resort).
@@ -160,22 +196,13 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
     k-buffer's grouped-tile scheme, hier_blend._fwd_kernel). ``group_bwd``
     sets the backward's group independently (grouping is value-exact, so
     mixing is sound): the forward's VPU cascade is issue-bound and wins from
-    lane widening (182 -> 122 ms at G=2, config 2), while the backward's
-    per-pop moment routing (one-hot compare + per-tile lane-slice dots)
-    scales WITH G and measured slower grouped — default it to 1.
+    lane widening (182 -> 122 ms at G=2, config 2).
     """
     from .hier_blend import blend_hier_backward, blend_hier_forward
 
-    import os
-
-    if group is None:
-        # Clamp at 2 on the chip: G>=4 at 64/8/4 overflows the 16 MB Mosaic
-        # scoped-vmem stack on v5e (gate_full r4); interpret has no stack.
-        group = int(os.environ.get("STP_HIER_GROUP", "2"))
-        if not interpret:
-            group = min(2, group)
-    if group_bwd is None:
-        group_bwd = int(os.environ.get("STP_HIER_GROUP_BWD", "1"))
+    if batched_cascade:
+        group = 1
+        group_bwd = 1
 
     @jax.custom_vjp
     def blend(payload, starts, counts, bg, cam):
@@ -199,7 +226,7 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
             width=width, height=height, hier_4x4_culling=hier_4x4_culling,
             chunk=chunk, seg_cap=seg_cap,
             batched_cascade=batched_cascade, group=group_bwd,
-            interpret=interpret,
+            route_precision=route_precision, interpret=interpret,
         )
         dpay = _zero_unwritten(dpay, counts, chunk)
         d_bg = jnp.einsum("tcp,tp->c", g_packed[:, 0:3, :], packed[:, 3, :])

@@ -973,6 +973,7 @@ def _bwd_kernel(
     *, kt: int, km: int, kh: int, chunk: int, seg_cap: int, grid_x: int,
     width: int, height: int, hier_4x4_culling: bool,
     batched_cascade: bool = False, group: int = 1,
+    route_prec=jax.lax.Precision.HIGHEST,
 ):
     """Grouped like _fwd_kernel: window/state/basis arrays carry the G x 256
     pixels on the lane axis. Per-tile state (segment offsets, dseg
@@ -1145,7 +1146,7 @@ def _bwd_kernel(
                         lane(onehot1, g),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=route_prec,
                     )
                     for wi in range(HIER_WIN_CH)
                 ],
@@ -1206,7 +1207,7 @@ def _bwd_kernel(
                             lane(moments, g), lane(onehot_t, g),
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
+                            precision=route_prec,
                         )
                         off = pl.multiple_of(r * chunk, chunk)
                         dseg[g, :, pl.ds(off, chunk)] += dchunk
@@ -1566,6 +1567,7 @@ def blend_hier_backward(
     seg_cap: int = 16384,
     batched_cascade: bool = False,
     group: int = 1,
+    route_precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
 ):
     """Returns d_payload [32, C_pad] (rows 0..8 of written segments).
@@ -1593,7 +1595,7 @@ def blend_hier_backward(
         _bwd_kernel, kt=kt, km=km, kh=kh, chunk=chunk, seg_cap=seg_cap,
         grid_x=grid_x, width=width, height=height,
         hier_4x4_culling=hier_4x4_culling, batched_cascade=batched_cascade,
-        group=group,
+        group=group, route_prec=route_precision,
     )
     km_drain = -(-km // CASC_BATCH) * CASC_BATCH if batched_cascade else km
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -499,6 +499,7 @@ def _bwd_kernel(
     buf, ad_scr, stale_scr, dseg, sems, wsem,  # scratch
     *, k: int, chunk: int, seg_cap: int, grid_x: int,
     width: int, height: int, group: int,
+    route_prec=jax.lax.Precision.HIGHEST,
 ):
     """Grouped like _fwd_kernel: window/state/basis arrays carry the G x 256
     pixels on the lane axis so the sequential replay's VPU work serves G
@@ -639,7 +640,7 @@ def _bwd_kernel(
                     lane(moments, j), lane(onehot_w, j),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=route_prec,
                 )
                 off = pl.multiple_of(r * chunk, chunk)
                 dseg[j, :, pl.ds(off, chunk)] += dchunk
@@ -687,7 +688,7 @@ def _bwd_kernel(
                         lane(onehot1, g),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=route_prec,
                     )
                     for m_w in (m_prev, m_cur)
                 ],
@@ -946,6 +947,7 @@ def blend_kbuffer_backward(
     chunk: int = 128,
     seg_cap: int = 16384,
     group: int = 1,
+    route_precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
 ):
     """Returns d_payload [32, C_pad] (rows 0..8; only segment prefixes of
@@ -972,6 +974,7 @@ def blend_kbuffer_backward(
     kernel = functools.partial(
         _bwd_kernel, k=k, chunk=chunk, seg_cap=seg_cap, grid_x=grid_x,
         width=width, height=height, group=group,
+        route_prec=route_precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

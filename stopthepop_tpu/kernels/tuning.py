@@ -1,0 +1,66 @@
+"""Single home for kernel tuning knobs resolved from the environment.
+
+Round-4 advice: group defaults were read from env inside lru_cached kernel
+factories AND re-clamped in pipeline.py with slightly different reach — two
+drifting copies. Every env default and on-chip clamp now lives here; both
+the factories (kernels/blend_vjp.py) and the pipeline wrappers call these
+helpers and pass explicit values down.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def resolve_kb_groups(interpret: bool) -> tuple[int, int]:
+    """(forward, backward) lane-width groups for the k-buffer blend.
+
+    Forward G=2 is the measured on-chip winner (33.6 -> 21.4 ms at config
+    2, results_r4/prof_kbuf_g2_fwd); the backward's per-pop moment routing
+    scales with the lane width and defaults to per-tile.
+    """
+    g = int(os.environ.get("STP_KB_GROUP", "2"))
+    gb = int(os.environ.get("STP_KB_GROUP_BWD", "1"))
+    return g, gb
+
+
+def resolve_hier_groups(interpret: bool) -> tuple[int, int]:
+    """(forward, backward) lane-width groups for the hierarchical blend.
+
+    Forward G=2 is the measured winner (182 -> 122 ms at config 2); G>=4 at
+    64/8/4 queues exceeds the 16 MB Mosaic scoped-vmem stack on v5e
+    (results_r4/gate_full), so the forward clamps to 2 on the chip
+    (interpret mode has no vmem stack — tests cover G=3).
+    """
+    g = int(os.environ.get("STP_HIER_GROUP", "2"))
+    if not interpret:
+        g = min(2, g)
+    # The backward is NOT clamped: its grouped variant compiled and ran at
+    # G=4 on chip (results_r4/prof_hier_g4 — slower, but no vmem overflow).
+    gb = int(os.environ.get("STP_HIER_GROUP_BWD", "1"))
+    return g, gb
+
+
+def resolve_route_precision() -> jax.lax.Precision:
+    """MXU precision of the backward one-hot routing dots.
+
+    The replay's per-pop cost is dominated by these dots; with f32 inputs
+    the TPU MXU emulates f32 in bf16 passes — HIGHEST is 6 passes, HIGH 3,
+    DEFAULT 1. The one-hot operand is exactly representable at any
+    precision, so lowering only rounds the routed moment addends (the
+    gradient contributions) to bf16 products — the same information loss as
+    the reference's non-deterministic fp32 atomicAdd ordering is in
+    practice (resorted_render.cuh:351-381), and it is quality-gated by the
+    400-iteration fit in benchmarks/quality_defaults.py.
+
+    Override with STP_ROUTE_PRECISION={default,high,highest}; the measured
+    round-5 A/B (same session) lives in PERFORMANCE.md.
+    """
+    name = os.environ.get("STP_ROUTE_PRECISION", "default").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]

@@ -157,10 +157,16 @@ def sort_error_maps(
     prior_max = jnp.concatenate(
         [jnp.full((1, N), -jnp.inf), cummax[:-1]], axis=0
     )
-    out_of_order = commit & (ray_d < prior_max)
+    # Tie handling and weighting follow the reference exactly
+    # (stopthepop_common.cuh:264-282): tied depths count as out-of-order
+    # (depth <= currentMaxDepth), the opacity error adds the contribution's
+    # alpha, and the distance error adds the UNWEIGHTED depth gap — so the
+    # per-mode tables in benchmarks/quality.py compare like with like
+    # against the naive oracles' pop-order accumulation (round-4 advice).
+    out_of_order = commit & (ray_d <= prior_max)
     err_op = jnp.sum(jnp.where(out_of_order, a_eff, 0.0), axis=0)
     err_dist = jnp.sum(
-        jnp.where(out_of_order, a_eff * (prior_max - ray_d), 0.0), axis=0
+        jnp.where(out_of_order, prior_max - ray_d, 0.0), axis=0
     )
     return err_op.reshape(height, width), err_dist.reshape(height, width)
 

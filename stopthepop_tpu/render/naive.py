@@ -286,7 +286,9 @@ def _accum_sort_error(serr, commit, alpha, depth):
         return None
     dmax, eop, edist = serr
     real = commit & (alpha > 0.0)
-    ooo = real & (depth < dmax)
+    # Tied depths count as out-of-order, like the reference's
+    # depth <= currentMaxDepth compare (stopthepop_common.cuh:266).
+    ooo = real & (depth <= dmax)
     eop = eop + jnp.where(ooo, alpha, 0.0)
     edist = edist + jnp.where(ooo, dmax - depth, 0.0)
     dmax = jnp.where(real, jnp.maximum(dmax, depth), dmax)

@@ -254,12 +254,11 @@ def render_tiled_kbuffer(
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)
+    # Lane-width groups + routing precision resolve inside the factory
+    # (kernels/tuning.py — the single home for env knobs and chip clamps).
     blend = make_blend_kbuffer(
         grid_x, grid_y, k, image_width, image_height, chunk, seg_cap,
-        # G=2 forward is the measured on-chip winner (33.6 -> 21.4 ms at
-        # config 2, results_r4/prof_kbuf_g*_fwd); backward stays per-tile.
-        interpret, group=int(os.environ.get("STP_KB_GROUP", "2")),
-        group_bwd=int(os.environ.get("STP_KB_GROUP_BWD", "1")),
+        interpret,
     )
     packed = blend(payload, segs.starts, segs.counts, bg, cam)
     color, final_t, n_contrib, depth_acc = unpack_image(
@@ -380,19 +379,12 @@ def render_tiled_hier(
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)
+    # Lane-width groups (incl. the on-chip G<=2 scoped-vmem clamp) and
+    # routing precision resolve inside the factory (kernels/tuning.py).
     blend = make_blend_hier(
         grid_x, grid_y, tuple(queue_sizes), image_width, image_height,
         hier_4x4_culling, chunk, seg_cap, interpret,
         batched_cascade=batched_cascade,
-        # G=2 forward is the measured on-chip winner (182 -> 122 ms at
-        # config 2, results_r4/prof_hier_g2_fwd); G>=4 exceeds the 16 MB
-        # Mosaic scoped-vmem stack at 64/8/4 (gate_full r4), so clamp on
-        # the chip (interpret mode has no vmem stack — tests cover G=3).
-        group=(1 if batched_cascade
-               else (lambda g: g if interpret else min(2, g))(
-                   int(os.environ.get("STP_HIER_GROUP", "2")))),
-        group_bwd=(1 if batched_cascade
-                   else int(os.environ.get("STP_HIER_GROUP_BWD", "1"))),
     )
     packed = blend(payload, segs.starts, segs.counts, bg, cam)
     color, final_t, n_contrib, depth_acc = unpack_image(

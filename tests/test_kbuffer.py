@@ -107,15 +107,19 @@ def test_kbuffer_sort_orders_and_culling_run():
         )
 
 
-@pytest.mark.parametrize("group", [2, 3])
+@pytest.mark.parametrize(
+    "group",
+    [2, pytest.param(3, marks=pytest.mark.slow)],  # G=2 default quick;
+    # the G=3 padding cell is slow-tier config-matrix coverage.
+)
 def test_kbuffer_grouped_tiles_match_ungrouped(group, monkeypatch):
     """group > 1 blends count-matched tiles per grid step (lane axis
     G x 256); the permutation + shared round loop must be value-exact vs
     the one-tile-per-step kernel, including non-divisible grids (padding
     with zero-count dummy tiles)."""
-    w, h = 80, 64  # 5 x 4 = 20 tiles: group=3 exercises padding
+    w, h = 64, 32  # 4 x 2 = 8 tiles: group=3 exercises padding (8 % 3)
     cam = make_camera(w, h)
-    scene = random_scene(jax.random.PRNGKey(11), 200)
+    scene = random_scene(jax.random.PRNGKey(11), 100)
     prep = _prep(scene, cam)
     bg = jnp.full((3,), 0.1)
     cap = int(count_pairs(prep)) + 64
@@ -154,9 +158,9 @@ def test_kbuffer_grouped_backward_matches_ungrouped(group, group_bwd,
                                        SortMode)
     from stopthepop_tpu.render import rasterize
 
-    w, h = 80, 64
+    w, h = 64, 32
     cam = make_camera(w, h)
-    scene = random_scene(jax.random.PRNGKey(9), 150)
+    scene = random_scene(jax.random.PRNGKey(9), 80)
     ext = ExtendedSettings()
     ext.sort_settings.sort_mode = SortMode.PPX_KBUFFER
     ext.sort_settings.queue_sizes.per_pixel = 4
