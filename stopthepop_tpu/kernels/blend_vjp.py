@@ -69,7 +69,8 @@ def make_blend_global(grid_x: int, grid_y: int, chunk: int, interpret: bool,
 def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
                        height: int, chunk: int, seg_cap: int,
                        interpret: bool, group: int = None,
-                       group_bwd: int = None, route_precision=None):
+                       group_bwd: int = None, route_precision=None,
+                       tile2x: bool = False):
     """Differentiable k-buffer blend for one static config.
 
     Env-dependent knobs (lane-width groups, routing precision) are resolved
@@ -88,14 +89,14 @@ def make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
         route_precision = resolve_route_precision()
     return _make_blend_kbuffer(grid_x, grid_y, k, width, height, chunk,
                                seg_cap, interpret, group, group_bwd,
-                               route_precision)
+                               route_precision, tile2x)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
                         height: int, chunk: int, seg_cap: int,
                         interpret: bool, group: int, group_bwd: int,
-                        route_precision):
+                        route_precision, tile2x: bool = False):
     """Cached inner factory (all-explicit args).
 
     Gradients flow to the payload's blendable rows (xy, conic, opacity, rgb)
@@ -123,9 +124,10 @@ def _make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
             payload, packed, g_packed, starts, counts, bg, cam,
             grid_x=grid_x, grid_y=grid_y, k=k, width=width, height=height,
             chunk=chunk, seg_cap=seg_cap, group=group_bwd,
-            route_precision=route_precision, interpret=interpret,
+            route_precision=route_precision, grad_row_split=tile2x,
+            interpret=interpret,
         )
-        dpay = _zero_unwritten(dpay, counts, chunk)
+        dpay = _zero_unwritten(dpay, counts, chunk, tile2x=tile2x)
         d_bg = jnp.einsum("tcp,tp->c", g_packed[:, 0:3, :], packed[:, 3, :])
         return (
             dpay,
@@ -139,7 +141,7 @@ def _make_blend_kbuffer(grid_x: int, grid_y: int, k: int, width: int,
     return blend
 
 
-def _zero_unwritten(dpay, counts, chunk):
+def _zero_unwritten(dpay, counts, chunk, tile2x: bool = False):
     """Zero payload-gradient entries the backward kernel never writes.
 
     The kernels write every column inside the aligned segment span
@@ -147,11 +149,21 @@ def _zero_unwritten(dpay, counts, chunk):
     and (since round 3) explicit zero DMAs over the truncated tails of
     over-seg_cap segments — so the only unwritten regions are rows >= 16
     and the unused capacity tail. One broadcast compare instead of the
-    old per-column searchsorted (42 ms/step at config 2 — measured)."""
+    old per-column searchsorted (42 ms/step at config 2 — measured).
+
+    ``tile2x`` (32x16 binning): each binning segment was replayed by TWO
+    16x16 half-tiles writing disjoint dpay row ranges (grad_row_split) —
+    sum them, and halve the aligned total (counts lists each parent
+    segment once per half)."""
     aligned = ((counts + chunk - 1) // chunk) * chunk
     total = jnp.sum(aligned)
+    if tile2x:
+        total = total // 2
+        grads = dpay[:9] + dpay[16:25]
+    else:
+        grads = dpay[:9]
     col = jnp.arange(dpay.shape[1], dtype=jnp.int32)
-    grads = jnp.where(col[None, :] < total, dpay[:9], 0.0)
+    grads = jnp.where(col[None, :] < total, grads, 0.0)
     return jnp.concatenate(
         [grads, jnp.zeros((dpay.shape[0] - 9, dpay.shape[1]), dpay.dtype)],
         axis=0,
@@ -162,7 +174,8 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
                     height: int, hier_4x4_culling: bool, chunk: int,
                     seg_cap: int, interpret: bool,
                     batched_cascade: bool = False, group: int = None,
-                    group_bwd: int = None, route_precision=None):
+                    group_bwd: int = None, route_precision=None,
+                    tile2x: bool = False):
     """Differentiable hierarchical blend for one static config.
 
     Env knobs resolve here, outside the lru cache (see make_blend_kbuffer);
@@ -180,14 +193,15 @@ def make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
     return _make_blend_hier(grid_x, grid_y, queue_sizes, width, height,
                             hier_4x4_culling, chunk, seg_cap, interpret,
                             batched_cascade, group, group_bwd,
-                            route_precision)
+                            route_precision, tile2x)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
                      height: int, hier_4x4_culling: bool, chunk: int,
                      seg_cap: int, interpret: bool, batched_cascade: bool,
-                     group: int, group_bwd: int, route_precision):
+                     group: int, group_bwd: int, route_precision,
+                     tile2x: bool = False):
     """Cached inner factory (all-explicit args).
 
     Same gradient surface as the k-buffer blend: payload blendable rows + bg;
@@ -226,9 +240,10 @@ def _make_blend_hier(grid_x: int, grid_y: int, queue_sizes, width: int,
             width=width, height=height, hier_4x4_culling=hier_4x4_culling,
             chunk=chunk, seg_cap=seg_cap,
             batched_cascade=batched_cascade, group=group_bwd,
-            route_precision=route_precision, interpret=interpret,
+            route_precision=route_precision, grad_row_split=tile2x,
+            interpret=interpret,
         )
-        dpay = _zero_unwritten(dpay, counts, chunk)
+        dpay = _zero_unwritten(dpay, counts, chunk, tile2x=tile2x)
         d_bg = jnp.einsum("tcp,tp->c", g_packed[:, 0:3, :], packed[:, 3, :])
         return (
             dpay,

@@ -974,6 +974,7 @@ def _bwd_kernel(
     width: int, height: int, hier_4x4_culling: bool,
     batched_cascade: bool = False, group: int = 1,
     route_prec=jax.lax.Precision.HIGHEST,
+    grad_row_split: bool = False,
 ):
     """Grouped like _fwd_kernel: window/state/basis arrays carry the G x 256
     pixels on the lane axis. Per-tile state (segment offsets, dseg
@@ -1493,12 +1494,20 @@ def _bwd_kernel(
     for j in range(group):
         wb_rounds = jnp.minimum(rounds_j[j], max_route)
         cx, cy = cxy[j]
+        # Split-grad-rows mode (32x16 binning): half-tiles sharing a parent
+        # segment write disjoint dpay row ranges; the VJP wrapper sums them
+        # (see kbuffer_blend._bwd_kernel).
+        if grad_row_split:
+            row0 = GRAD_ROWS * ((order_ref[t * group + j] % grid_x) % 2)
+        else:
+            row0 = 0
 
         @pl.when(wb_rounds > 0)
         def _(j=j):
             get_dma(0, j, 0).start()
 
-        def writeback(r, _, j=j, wb_rounds=wb_rounds, cx=cx, cy=cy):
+        def writeback(r, _, j=j, wb_rounds=wb_rounds, cx=cx, cy=cy,
+                      row0=row0):
             @pl.when(r + 1 < wb_rounds)
             def _():
                 get_dma((r + 1) % 2, j, r + 1).start()
@@ -1515,7 +1524,7 @@ def _bwd_kernel(
             dst = pl.multiple_of(starts[j] + r * chunk, chunk)
             cp = pltpu.make_async_copy(
                 dseg.at[j, :, pl.ds(off, chunk)],
-                dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
+                dpay_ref.at[pl.ds(row0, GRAD_ROWS), pl.ds(dst, chunk)],
                 wsem,
             )
             cp.start()
@@ -1534,11 +1543,11 @@ def _bwd_kernel(
                 (GRAD_ROWS, chunk), jnp.float32
             )
 
-            def zfill(r, _):
+            def zfill(r, _, row0=row0):
                 dst = pl.multiple_of(starts[j] + r * chunk, chunk)
                 cp = pltpu.make_async_copy(
                     dseg.at[j, :, pl.ds(0, chunk)],
-                    dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
+                    dpay_ref.at[pl.ds(row0, GRAD_ROWS), pl.ds(dst, chunk)],
                     wsem,
                 )
                 cp.start()
@@ -1568,6 +1577,7 @@ def blend_hier_backward(
     batched_cascade: bool = False,
     group: int = 1,
     route_precision=jax.lax.Precision.HIGHEST,
+    grad_row_split: bool = False,
     interpret: bool = False,
 ):
     """Returns d_payload [32, C_pad] (rows 0..8 of written segments).
@@ -1596,6 +1606,7 @@ def blend_hier_backward(
         grid_x=grid_x, width=width, height=height,
         hier_4x4_culling=hier_4x4_culling, batched_cascade=batched_cascade,
         group=group, route_prec=route_precision,
+        grad_row_split=grad_row_split,
     )
     km_drain = -(-km // CASC_BATCH) * CASC_BATCH if batched_cascade else km
     grid_spec = pltpu.PrefetchScalarGridSpec(

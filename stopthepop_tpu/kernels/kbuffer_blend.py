@@ -500,6 +500,7 @@ def _bwd_kernel(
     *, k: int, chunk: int, seg_cap: int, grid_x: int,
     width: int, height: int, group: int,
     route_prec=jax.lax.Precision.HIGHEST,
+    grad_row_split: bool = False,
 ):
     """Grouped like _fwd_kernel: window/state/basis arrays carry the G x 256
     pixels on the lane axis so the sequential replay's VPU work serves G
@@ -875,12 +876,22 @@ def _bwd_kernel(
     for j in range(group):
         wb_rounds = jnp.minimum(rounds_j[j], max_route)
         cx, cy = cxy[j]
+        # Split-grad-rows mode (32x16 binning): the two 16x16 half-tiles of
+        # one binning tile share a payload segment, so they write DISJOINT
+        # dpay row ranges (even tx -> rows 0..15, odd tx -> 16..31) and the
+        # VJP wrapper sums the halves; otherwise both would clobber the
+        # same rows (last writer wins).
+        if grad_row_split:
+            row0 = GRAD_ROWS * ((order_ref[t * group + j] % grid_x) % 2)
+        else:
+            row0 = 0
 
         @pl.when(wb_rounds > 0)
         def _(j=j):
             get_dma(0, j, 0).start()
 
-        def writeback(r, _, j=j, wb_rounds=wb_rounds, cx=cx, cy=cy):
+        def writeback(r, _, j=j, wb_rounds=wb_rounds, cx=cx, cy=cy,
+                      row0=row0):
             @pl.when(r + 1 < wb_rounds)
             def _():
                 get_dma((r + 1) % 2, j, r + 1).start()
@@ -897,7 +908,7 @@ def _bwd_kernel(
             dst = pl.multiple_of(starts[j] + r * chunk, chunk)
             cp = pltpu.make_async_copy(
                 dseg.at[j, :, pl.ds(off, chunk)],
-                dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
+                dpay_ref.at[pl.ds(row0, GRAD_ROWS), pl.ds(dst, chunk)],
                 wsem,
             )
             cp.start()
@@ -916,11 +927,11 @@ def _bwd_kernel(
                 (GRAD_ROWS, chunk), jnp.float32
             )
 
-            def zfill(r, _):
+            def zfill(r, _, row0=row0):
                 dst = pl.multiple_of(starts[j] + r * chunk, chunk)
                 cp = pltpu.make_async_copy(
                     dseg.at[j, :, pl.ds(0, chunk)],
-                    dpay_ref.at[0:GRAD_ROWS, pl.ds(dst, chunk)],
+                    dpay_ref.at[pl.ds(row0, GRAD_ROWS), pl.ds(dst, chunk)],
                     wsem,
                 )
                 cp.start()
@@ -948,6 +959,7 @@ def blend_kbuffer_backward(
     seg_cap: int = 16384,
     group: int = 1,
     route_precision=jax.lax.Precision.HIGHEST,
+    grad_row_split: bool = False,
     interpret: bool = False,
 ):
     """Returns d_payload [32, C_pad] (rows 0..8; only segment prefixes of
@@ -974,7 +986,7 @@ def blend_kbuffer_backward(
     kernel = functools.partial(
         _bwd_kernel, k=k, chunk=chunk, seg_cap=seg_cap, grid_x=grid_x,
         width=width, height=height, group=group,
-        route_prec=route_precision,
+        route_prec=route_precision, grad_row_split=grad_row_split,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

@@ -206,6 +206,37 @@ def build_payload_kbuffer(prep: PreprocessOutput, segs: AlignedSegments,
     return feats
 
 
+
+
+def split_binning_segments(starts, counts, bin_gx, bin_gy, sub):
+    """Map per-binning-tile segments to per-16x16 blend tiles.
+
+    A (sub*16)x16 binning tile covers ``sub`` 16x16 blend tiles that ALL
+    read the parent's pair segment: pairs overlapping the parent rect but
+    not a given half never pass the blend's alpha threshold there (the
+    emission rect bounds the alpha >= 1/255 extent), so the extra entries
+    are exact no-ops for that half's pixels — one binning stream feeds
+    every render mode, like the reference's shared BinningState
+    (rasterizer_impl.cu:264, forward.cu:388-494). Returns
+    (grid_x16, starts16, counts16) for the 16x16 blend grid.
+    """
+    s = jnp.repeat(starts.reshape(bin_gy, bin_gx), sub, axis=1).reshape(-1)
+    c = jnp.repeat(counts.reshape(bin_gy, bin_gx), sub, axis=1).reshape(-1)
+    return bin_gx * sub, s, c
+
+
+def _resolve_bin_tile(tile_x, tile_y):
+    """Validate a resort-mode binning tile; returns (tile2x, sub)."""
+    if (tile_x, tile_y) == (TILE_X, TILE_Y):
+        return False, 1
+    if (tile_x, tile_y) != (2 * TILE_X, TILE_Y):
+        raise NotImplementedError(
+            "resort-mode binning tiles support 16x16 (reference parity) "
+            "and 32x16 (the measured GLOBAL winner) only"
+        )
+    return True, 2
+
+
 def render_tiled_kbuffer(
     prep: PreprocessOutput,
     bg: jnp.ndarray,
@@ -223,17 +254,25 @@ def render_tiled_kbuffer(
     carry_bf16: bool = False,
     pad_capacity=None,
     rank_key: bool = False,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
     interpret: bool = False,
 ):
     """PER_PIXEL_KBUFFER tiled render. Returns (color, final_T, n_contrib,
-    pairs)."""
-    grid_x, grid_y = tile_grid(image_width, image_height)
-    num_tiles = grid_x * grid_y
+    pairs).
+
+    ``tile_x``/``tile_y``: BINNING tile (16x16 = reference parity; 32x16
+    cuts the pair domain ~35%). The blend always runs 16x16 tiles — with a
+    32x16 binning tile each half reads the parent segment (see
+    split_binning_segments) and the backward splits gradient rows per half
+    (blend_vjp tile2x)."""
+    tile2x, sub = _resolve_bin_tile(tile_x, tile_y)
+    bin_gx, bin_gy = tile_grid(image_width, image_height, tile_x, tile_y)
     pairs, segs = build_pairs_aligned(
         prep,
         capacity=capacity,
-        grid_x=grid_x,
-        grid_y=grid_y,
+        grid_x=bin_gx,
+        grid_y=bin_gy,
         align=chunk,
         sort_order=sort_order,
         tile_based_culling=tile_based_culling,
@@ -243,24 +282,33 @@ def render_tiled_kbuffer(
         image_height=image_height,
         pad_capacity=pad_capacity,
         rank_key=rank_key,
-        carry_slot=tile_based_culling or grid_x > 1024 or grid_y > 1024,
+        tile_x=tile_x,
+        tile_y=tile_y,
+        carry_slot=tile_based_culling or bin_gx > 1024 or bin_gy > 1024,
     )
     recon = (
-        None if (tile_based_culling or grid_x > 1024 or grid_y > 1024)
-        else (recon_table_columns(prep), pairs.tile_id, pairs.valid, grid_x)
+        None if (tile_based_culling or bin_gx > 1024 or bin_gy > 1024)
+        else (recon_table_columns(prep), pairs.tile_id, pairs.valid, bin_gx)
     )
     payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16,
                                     recon)
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)
+    if tile2x:
+        grid_x, starts_b, counts_b = split_binning_segments(
+            segs.starts, segs.counts, bin_gx, bin_gy, sub)
+        grid_y = bin_gy
+    else:
+        grid_x, grid_y = bin_gx, bin_gy
+        starts_b, counts_b = segs.starts, segs.counts
     # Lane-width groups + routing precision resolve inside the factory
     # (kernels/tuning.py — the single home for env knobs and chip clamps).
     blend = make_blend_kbuffer(
         grid_x, grid_y, k, image_width, image_height, chunk, seg_cap,
-        interpret,
+        interpret, tile2x=tile2x,
     )
-    packed = blend(payload, segs.starts, segs.counts, bg, cam)
+    packed = blend(payload, starts_b, counts_b, bg, cam)
     color, final_t, n_contrib, depth_acc = unpack_image(
         packed, grid_x, grid_y, image_width, image_height
     )
@@ -282,6 +330,8 @@ def render_tiled_full(
     chunk: int = 128,
     pad_capacity=None,
     rank_key: bool = False,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
     interpret: bool = False,
 ):
     """PER_PIXEL_FULL tiled render (exact per-ray sort; forward only, like
@@ -291,13 +341,17 @@ def render_tiled_full(
     from ..kernels.full_blend import blend_full_forward
     from ..kernels.global_blend import unpack_image
 
-    grid_x, grid_y = tile_grid(image_width, image_height)
+    tile2x, sub = _resolve_bin_tile(tile_x, tile_y)
+    bin_gx, bin_gy = tile_grid(image_width, image_height, tile_x, tile_y)
+    grid_x, grid_y = bin_gx, bin_gy
     pairs, segs = build_pairs_aligned(
         prep,
         capacity=capacity,
-        grid_x=grid_x,
-        grid_y=grid_y,
+        grid_x=bin_gx,
+        grid_y=bin_gy,
         align=chunk,
+        tile_x=tile_x,
+        tile_y=tile_y,
         sort_order=sort_order,
         tile_based_culling=tile_based_culling,
         campos=campos,
@@ -312,9 +366,14 @@ def render_tiled_full(
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)
+    if tile2x:
+        grid_x, starts_b, counts_b = split_binning_segments(
+            segs.starts, segs.counts, bin_gx, bin_gy, sub)
+    else:
+        starts_b, counts_b = segs.starts, segs.counts
     packed = blend_full_forward(
         jax.lax.stop_gradient(payload),
-        segs.starts, segs.counts, jax.lax.stop_gradient(bg), cam,
+        starts_b, counts_b, jax.lax.stop_gradient(bg), cam,
         grid_x=grid_x, grid_y=grid_y, width=image_width,
         height=image_height, seg_full=seg_full, interpret=interpret,
     )
@@ -346,19 +405,25 @@ def render_tiled_hier(
     pad_capacity=None,
     rank_key: bool = False,
     batched_cascade: bool = False,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
     interpret: bool = False,
 ):
     """HIERARCHICAL tiled render. Returns (color, final_T, n_contrib,
-    pairs)."""
+    pairs).
+
+    ``tile_x``/``tile_y``: BINNING tile; 32x16 feeds each 16x16 half-tile
+    cascade from the parent segment (split_binning_segments). The cascade
+    geometry itself (4x4 tail / 2x2 mid / per-pixel head) stays 16x16."""
     from ..kernels.blend_vjp import make_blend_hier
 
-    grid_x, grid_y = tile_grid(image_width, image_height)
-    num_tiles = grid_x * grid_y
+    tile2x, sub = _resolve_bin_tile(tile_x, tile_y)
+    bin_gx, bin_gy = tile_grid(image_width, image_height, tile_x, tile_y)
     pairs, segs = build_pairs_aligned(
         prep,
         capacity=capacity,
-        grid_x=grid_x,
-        grid_y=grid_y,
+        grid_x=bin_gx,
+        grid_y=bin_gy,
         align=chunk,
         sort_order=sort_order,
         tile_based_culling=tile_based_culling,
@@ -368,25 +433,34 @@ def render_tiled_hier(
         image_height=image_height,
         pad_capacity=pad_capacity,
         rank_key=rank_key,
-        carry_slot=tile_based_culling or grid_x > 1024 or grid_y > 1024,
+        tile_x=tile_x,
+        tile_y=tile_y,
+        carry_slot=tile_based_culling or bin_gx > 1024 or bin_gy > 1024,
     )
     recon = (
-        None if (tile_based_culling or grid_x > 1024 or grid_y > 1024)
-        else (recon_table_columns(prep), pairs.tile_id, pairs.valid, grid_x)
+        None if (tile_based_culling or bin_gx > 1024 or bin_gy > 1024)
+        else (recon_table_columns(prep), pairs.tile_id, pairs.valid, bin_gx)
     )
     payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16,
                                     recon)
     cam = jnp.concatenate(
         [inverse_vp.reshape(-1), campos.reshape(-1)]
     ).astype(jnp.float32)
+    if tile2x:
+        grid_x, starts_b, counts_b = split_binning_segments(
+            segs.starts, segs.counts, bin_gx, bin_gy, sub)
+        grid_y = bin_gy
+    else:
+        grid_x, grid_y = bin_gx, bin_gy
+        starts_b, counts_b = segs.starts, segs.counts
     # Lane-width groups (incl. the on-chip G<=2 scoped-vmem clamp) and
     # routing precision resolve inside the factory (kernels/tuning.py).
     blend = make_blend_hier(
         grid_x, grid_y, tuple(queue_sizes), image_width, image_height,
         hier_4x4_culling, chunk, seg_cap, interpret,
-        batched_cascade=batched_cascade,
+        batched_cascade=batched_cascade, tile2x=tile2x,
     )
-    packed = blend(payload, segs.starts, segs.counts, bg, cam)
+    packed = blend(payload, starts_b, counts_b, bg, cam)
     color, final_t, n_contrib, depth_acc = unpack_image(
         packed, grid_x, grid_y, image_width, image_height
     )

@@ -223,12 +223,12 @@ def _rasterize_impl(
     from ..constants import TILE_X, TILE_Y
 
     tile_x, tile_y = tile_shape if tile_shape is not None else (TILE_X, TILE_Y)
-    if (tile_x, tile_y) != (TILE_X, TILE_Y) and sort_mode != SortMode.GLOBAL:
-        raise NotImplementedError(
-            "tile_shape overrides are supported for the GLOBAL sort mode "
-            "only (the hierarchical kernels' sub-tile geometry is fixed "
-            "at 16x16)."
-        )
+    # Every sort mode consumes the same binning stream at either tile size
+    # (like the reference's single BinningState, rasterizer_impl.cu:264):
+    # GLOBAL blends the 32x16 tile directly; the resort modes blend its two
+    # 16x16 halves off the shared parent segment (pipeline.
+    # split_binning_segments). Validation of supported sizes lives in
+    # pipeline._resolve_bin_tile.
 
     def none_if_empty(x):
         return None if x is None or (hasattr(x, "size") and x.size == 0) else x
@@ -341,6 +341,8 @@ def _rasterize_impl(
                 tile_based_culling=ext.culling_settings.tile_based_culling,
                 seg_full=seg_full,
                 rank_key=rank_key,
+                tile_x=tile_x,
+                tile_y=tile_y,
                 interpret=interpret,
             )
             overflow = pairs.overflow
@@ -380,6 +382,8 @@ def _rasterize_impl(
             seg_cap=seg_cap,
             carry_bf16=carry_bf16,
             rank_key=rank_key,
+            tile_x=tile_x,
+            tile_y=tile_y,
             interpret=interpret,
         )
         overflow = pairs.overflow
@@ -402,6 +406,8 @@ def _rasterize_impl(
             carry_bf16=carry_bf16,
             rank_key=rank_key,
             batched_cascade=batched_cascade,
+            tile_x=tile_x,
+            tile_y=tile_y,
             interpret=interpret,
         )
         overflow = pairs.overflow

@@ -87,26 +87,101 @@ def test_tile_shape_gradients_match_16x16():
                                rtol=1e-3, atol=1e-4)
 
 
-def test_tile_shape_rejected_for_resort_modes():
+def _raster_settings(cam, mode, k=4):
     from stopthepop_tpu.config import (
         ExtendedSettings,
         GaussianRasterizationSettings,
     )
-    from stopthepop_tpu.render.rasterize import GaussianRasterizer
 
-    cam = make_camera(32, 32)
-    scene = random_scene(jax.random.PRNGKey(0), 8)
     ext = ExtendedSettings()
-    ext.sort_settings.sort_mode = SortMode.PPX_KBUFFER
-    rs = GaussianRasterizationSettings(
-        image_height=32, image_width=32,
+    ext.sort_settings.sort_mode = mode
+    ext.sort_settings.queue_sizes.per_pixel = k
+    ext.sort_settings.queue_sizes.tile_4x4 = 16
+    ext.sort_settings.queue_sizes.tile_2x2 = 8
+    return GaussianRasterizationSettings(
+        image_height=cam.height, image_width=cam.width,
         tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
-        bg=jnp.zeros(3), scale_modifier=1.0,
+        bg=jnp.array([0.2, 0.1, 0.3]), scale_modifier=1.0,
         viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
         inv_viewprojmatrix=cam.inv_viewprojmatrix,
         sh_degree=3, campos=cam.campos, prefiltered=False, settings=ext,
     )
-    r = GaussianRasterizer(rs, tile_shape=(32, 16), interpret=True)
-    with pytest.raises(NotImplementedError, match="tile_shape"):
+
+
+@pytest.mark.parametrize(
+    "mode",
+    [SortMode.PPX_KBUFFER,
+     pytest.param(SortMode.HIER, marks=pytest.mark.slow)],  # quick-tier
+    # budget: the KBUFFER cell smoke-covers the shared split/grad-row
+    # machinery; the HIER cell is slow-tier config-matrix coverage.
+)
+def test_tile_shape_resort_modes_match_16x16(mode):
+    """32x16 binning for the resort modes: each 16x16 half-tile blends the
+    parent segment (pipeline.split_binning_segments); off-half pairs never
+    pass the alpha threshold, so with Z_DEPTH order each pixel sees the
+    exact same committed sequence as under 16x16 binning — forward AND
+    gradient must match. The backward additionally exercises the
+    grad-row-split writeback (the halves share a segment)."""
+    from stopthepop_tpu.render import rasterize
+
+    cam = make_camera(64, 32)
+    scene = random_scene(jax.random.PRNGKey(7), 120)
+    wts = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 64))
+    rs = _raster_settings(cam, mode)
+
+    def loss(opacities, tile_shape):
+        img, _ = rasterize.rasterize_gaussians(
+            scene.means3d, None, scene.shs, None, opacities,
+            scene.scales, scene.rotations, None, rs, interpret=True,
+            pair_capacity=4096, tile_shape=tile_shape,
+        )
+        return jnp.sum(img * wts), img
+
+    (l16, img16), g16 = jax.value_and_grad(
+        lambda o: loss(o, None), has_aux=True)(scene.opacities)
+    (l32, img32), g32 = jax.value_and_grad(
+        lambda o: loss(o, (32, 16)), has_aux=True)(scene.opacities)
+    np.testing.assert_allclose(np.asarray(img32), np.asarray(img16),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g32), np.asarray(g16),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_tile_shape_full_matches_16x16():
+    from stopthepop_tpu.render.pipeline import render_tiled_full
+
+    cam = make_camera(64, 32)
+    scene = random_scene(jax.random.PRNGKey(3), 120)
+    bg = jnp.array([0.1, 0.2, 0.3])
+
+    prep16 = _prep(scene, cam)
+    img16, T16, _, p16, _ = render_tiled_full(
+        prep16, bg, image_width=64, image_height=32, capacity=4096,
+        campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
+        interpret=True,
+    )
+    prep32 = _prep(scene, cam, tile_x=32, tile_y=16)
+    img32, T32, _, p32, _ = render_tiled_full(
+        prep32, bg, image_width=64, image_height=32, capacity=4096,
+        campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
+        tile_x=32, tile_y=16, interpret=True,
+    )
+    assert not bool(p16.overflow) and not bool(p32.overflow)
+    np.testing.assert_allclose(np.asarray(img32), np.asarray(img16),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(T32), np.asarray(T16), atol=5e-5)
+
+
+def test_tile_shape_unsupported_size_rejected_for_resort_modes():
+    """Resort modes accept 16x16 and 32x16 only (GLOBAL also takes 32x32
+    etc.); anything else raises instead of silently mis-rendering."""
+    from stopthepop_tpu.render.rasterize import GaussianRasterizer
+
+    cam = make_camera(32, 32)
+    scene = random_scene(jax.random.PRNGKey(0), 8)
+    rs = _raster_settings(cam, SortMode.PPX_KBUFFER)
+    r = GaussianRasterizer(rs, tile_shape=(32, 32), interpret=True)
+    with pytest.raises(NotImplementedError, match="binning tile"):
         r(scene.means3d, None, scene.opacities, shs=scene.shs,
           scales=scene.scales, rotations=scene.rotations)
