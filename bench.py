@@ -80,6 +80,9 @@ def main():
     )
     carry_bf16 = os.environ.get("STP_BENCH_BF16", "1") == "1"
     rank_key = os.environ.get("STP_BENCH_RANKKEY", "1") == "1"
+    # f16-packed forward payload (6-column pair gather); quality-gated in
+    # benchmarks/quality_defaults.py before it may default on.
+    pack_fwd = os.environ.get("STP_BENCH_PACKFWD", "0") == "1"
     # The paper's tighter culling (rect + tight-opacity bounding) cuts
     # this scene's pairs 1.75M -> 1.28M; the static capacity is sized for
     # the culled stream plus headroom. (Tile-based culling would drop a
@@ -142,7 +145,7 @@ def main():
             model, cam_arrays, static=static,
             pair_capacity=capacity, pad_capacity=pad_pool,
             tile_shape=tile_shape, carry_bf16=carry_bf16, rank_key=rank_key,
-            interpret=interpret,
+            pack_fwd=pack_fwd, interpret=interpret,
         )
         return rgb_loss(color, target)
 
@@ -167,6 +170,32 @@ def main():
         samples.append(width * height * iters / (time.time() - t0) / 1e6)
     samples.sort()
     mpix_s = samples[len(samples) // 2]
+
+    # Fixed drift anchor (VERDICT r4 weak #4): a code-independent
+    # micro-workload — the 3.24M-pair packed rank-key sort from
+    # benchmarks/sort_micro.py — re-measured every bench run. Cross-day
+    # chip/tunnel drift moves anchor and headline together, so
+    # value/anchor ratios are comparable across sessions even when raw
+    # numbers are not. Reference points (same day, results_r5/sort_micro):
+    # anchor 5.42 ms on the round-5 session chip.
+    n_anchor = 3_240_000
+    key_a = jax.random.randint(
+        jax.random.PRNGKey(2), (n_anchor,), 0, 1 << 30, dtype=jnp.int32
+    )
+    val_a = jnp.arange(n_anchor, dtype=jnp.int32)
+
+    @jax.jit
+    def anchor_run(k, v):
+        def it(i, acc):
+            _, vs = jax.lax.sort((k + acc, v), num_keys=1)
+            return acc + vs[0]
+        return jax.lax.fori_loop(0, 10, it, jnp.int32(0))
+
+    jax.block_until_ready(anchor_run(key_a, val_a))
+    t0 = time.time()
+    jax.block_until_ready(anchor_run(key_a, val_a))
+    anchor_ms = (time.time() - t0) / 10 * 1e3
+
     print(json.dumps({
         "metric": "fwd+bwd throughput, 1080p, 500K gaussians, L1+D-SSIM",
         "value": round(mpix_s, 2),
@@ -174,6 +203,8 @@ def main():
         "vs_baseline": round(mpix_s / NOMINAL_BASELINE_MPIX_S, 3),
         "reps": reps,
         "spread": [round(samples[0], 2), round(samples[-1], 2)],
+        "anchor_sort_ms": round(anchor_ms, 2),
+        "value_per_anchor": round(mpix_s * anchor_ms, 1),
     }))
 
 

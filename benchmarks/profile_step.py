@@ -95,7 +95,8 @@ def build_step(args):
         color, _ = render_model(
             m, cams, static=static, pair_capacity=capacity,
             tile_shape=tile_shape, carry_bf16=args.carry_bf16,
-            rank_key=args.rank_key, batched_cascade=args.batched_cascade,
+            rank_key=args.rank_key, pack_fwd=args.pack_fwd,
+            batched_cascade=args.batched_cascade,
             interpret=interpret,
         )
         return rgb_loss(color, target)
@@ -235,15 +236,26 @@ def main():
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--carry-bf16", action="store_true")
     ap.add_argument("--rank-key", action="store_true")
+    ap.add_argument("--pack-fwd", action="store_true")
     ap.add_argument("--batched-cascade", action="store_true")
     ap.add_argument("--queues", default=None,
                     help="hier queue sizes 'kt,km,kh' (default 64,8,4)")
     ap.add_argument("--no-culling", action="store_true")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--dump-hlo", default=None, metavar="PATH",
+                    help="write the compiled (post-optimization) HLO text "
+                         "here — its fusion.N names match the profiler's "
+                         "op names, so the 'where do the ms go' table can "
+                         "be resolved to actual ops")
     args = ap.parse_args()
 
     run, model, capacity = build_step(args)
+    if args.dump_hlo:
+        txt = run.lower(model).compile().as_text()  # run is already jitted
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"# hlo -> {args.dump_hlo} ({len(txt)} bytes)")
     jax.block_until_ready(run(model))  # compile + warm outside the trace
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="stp_trace_")
     with jax.profiler.trace(trace_dir, create_perfetto_trace=True):

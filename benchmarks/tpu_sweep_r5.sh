@@ -66,3 +66,31 @@ run prof_hier_b_base 3600 python benchmarks/profile_step.py $P2 --mode HIER --to
 run bench_base 2400 python bench.py
 
 echo "WAVE 0 COMPLETE $(date)"
+
+# ---------------- WAVE 1: backward routing precision + its consequences ---
+# The replay's per-pop one-hot routing dots ran at HIGHEST (6-pass f32 MXU
+# emulation); DEFAULT is 1-pass bf16 (the one-hot operand is exact at any
+# precision — only the routed moment addends round). A/B all three against
+# the wave-0 base (kbuf 164.5 / hier ~633 ms at HIGHEST, same session).
+
+# correctness first: HIER on-chip verify at the new DEFAULT routing
+run verify_hier_def 3600 python benchmarks/verify_hier_onchip.py
+
+# precision ladder (backward replay, per-tile bwd, G=2 fwd)
+run prof_kbuf_b_def 2400 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 8
+run prof_hier_b_def 3600 python benchmarks/profile_step.py $P2 --mode HIER --top 8
+run prof_kbuf_b_high 2400 env STP_ROUTE_PRECISION=high python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 8
+run prof_hier_b_high 3600 env STP_ROUTE_PRECISION=high python benchmarks/profile_step.py $P2 --mode HIER --top 8
+run prof_kbuf_b_hst 2400 env STP_ROUTE_PRECISION=highest python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 8
+run prof_hier_b_hst 3600 env STP_ROUTE_PRECISION=highest python benchmarks/profile_step.py $P2 --mode HIER --top 8
+
+# grouped backward re-A/B: the r4 regression was attributed to routing cost
+# scaling with lane width — with cheap dots the balance may flip
+run prof_kbuf_b_def_g2 2400 env STP_KB_GROUP_BWD=2 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 8
+run prof_hier_b_def_g2 3600 env STP_HIER_GROUP_BWD=2 python benchmarks/profile_step.py $P2 --mode HIER --top 8
+
+# the 32x16 binning stream reaching the resort modes (VERDICT r4 next #2)
+run prof_kbuf_b_t32 2400 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --tile 32x16 --top 8
+run prof_hier_b_t32 3600 python benchmarks/profile_step.py $P2 --mode HIER --tile 32x16 --top 8
+
+echo "WAVE 1 COMPLETE $(date)"

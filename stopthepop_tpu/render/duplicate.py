@@ -652,8 +652,67 @@ def _carry_sort_segment_reduce(orig_slot, d_out, offsets, capacity,
     return d_table
 
 
+
+
+# ---------------------------------------------------------------------------
+# Packed forward payload (f16 pair carriers)
+# ---------------------------------------------------------------------------
+#
+# The pair-domain row gather's cost scales with the COLUMN count (measured,
+# benchmarks/sort_micro.py round 5: 9 cols 11.8 ns/row vs 5 cols 4.8 at
+# 3.24M rows) — the TPU analog of the reference economizing its sort to one
+# 64-bit key (rasterizer_impl.cu:344-362). Packing the 8 low-sensitivity
+# GLOBAL payload features (conic a/b/c, opacity, r/g/b, depth) into 4
+# f16-pair carriers shrinks the gather from 10 to 6 columns; x/y stay f32
+# (pixel coordinates up to 1920 would lose sub-pixel precision in 16 bits).
+# f16 (not bf16): 11-bit mantissa keeps the relative rounding ~5e-4 — the
+# conic rides the Gaussian exponent, where bf16's 4e-3 would move alphas
+# visibly. All values are range-safe: conic entries are bounded by the 0.3
+# dilation (<= 3.33), colors/opacity are O(1), depths are scene units
+# << 65504 (f16 max).
+#
+# The pack lives INSIDE the gather's custom fwd (pack in the cheap [P]
+# domain -> 6-column gather -> unpack fused into the gather's consumer), so
+# the op's primal output and cotangent stay in the UNPACKED basis and the
+# carry-sort VJP is untouched: gradients are w.r.t. the f16-rounded forward
+# values, applied to the f32 master parameters (standard mixed precision).
+
+
+def pack_table_f16(table, span):
+    """Pack table columns [span[0], span[1]) (even count) into f16 pairs.
+
+    [P, F] -> [P, F - n/2] with column j pairing (lo+2j, lo+2j+1)."""
+    lo, hi = span
+    f16 = table[:, lo:hi].astype(jnp.float16)
+    u = jax.lax.bitcast_convert_type(f16, jnp.uint16).astype(jnp.uint32)
+    packed_u = (u[:, 0::2] | (u[:, 1::2] << 16)).astype(jnp.uint32)
+    packed = jax.lax.bitcast_convert_type(packed_u, jnp.float32)
+    return jnp.concatenate([table[:, :lo], packed, table[:, hi:]], axis=1)
+
+
+def unpack_rows_f16(out_p, span, total_rows):
+    """Invert pack_table_f16 on the transposed gather output.
+
+    out_p [F', C] feature-major with rows [lo, lo+n/2) packed; returns
+    [total_rows, C] with the original row layout."""
+    lo, hi = span
+    n2 = (hi - lo) // 2
+    u = jax.lax.bitcast_convert_type(out_p[lo:lo + n2], jnp.uint32)
+    a = jax.lax.bitcast_convert_type(
+        (u & 0xFFFF).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    inter = jnp.stack([a, b], axis=1).reshape(hi - lo, out_p.shape[1])
+    out = jnp.concatenate([out_p[:lo], inter, out_p[lo + n2:]], axis=0)
+    assert out.shape[0] == total_rows
+    return out
+
+
 @functools.lru_cache(maxsize=None)
-def make_segment_gather(capacity=None, grad_cols=None, carry_bf16=False):
+def make_segment_gather(capacity=None, grad_cols=None, carry_bf16=False,
+                        pack_fwd_span=None):
     """Build (and cache) the transposed gather op for one static config.
 
     Returns ``table[gauss_id].T`` — feature-major [F, C], the layout the
@@ -676,14 +735,24 @@ def make_segment_gather(capacity=None, grad_cols=None, carry_bf16=False):
     (measured ~1.7x on the backward's dominant stage). Mixed-precision
     gradients in the standard deep-learning sense: the per-Gaussian
     reduction and everything downstream stay f32.
+
+    ``pack_fwd_span`` (static, opt-in) packs that column span into f16
+    pairs across the gather (see pack_table_f16): fewer gathered columns,
+    same unpacked output basis.
     """
+
+    def _do_gather(table, gauss_id):
+        if pack_fwd_span is None:
+            return table[gauss_id].T
+        out_p = pack_table_f16(table, pack_fwd_span)[gauss_id].T
+        return unpack_rows_f16(out_p, pack_fwd_span, table.shape[1])
 
     @jax.custom_vjp
     def gather(table, gauss_id, orig_slot, gauss_offsets):
-        return table[gauss_id].T
+        return _do_gather(table, gauss_id)
 
     def gather_fwd(table, gauss_id, orig_slot, gauss_offsets):
-        return table[gauss_id].T, (orig_slot, gauss_offsets)
+        return _do_gather(table, gauss_id), (orig_slot, gauss_offsets)
 
     def gather_bwd(res, d_out):
         import numpy as np
@@ -703,9 +772,10 @@ def make_segment_gather(capacity=None, grad_cols=None, carry_bf16=False):
 
 
 def segment_gather(table, gauss_id, orig_slot, gauss_offsets, capacity=None,
-                   grad_cols=None, carry_bf16=False):
+                   grad_cols=None, carry_bf16=False, pack_fwd_span=None):
     """table[gauss_id].T (feature-major) with a carry-sort-and-scan VJP."""
-    return make_segment_gather(capacity, grad_cols, carry_bf16)(
+    return make_segment_gather(capacity, grad_cols, carry_bf16,
+                               pack_fwd_span)(
         table, gauss_id, orig_slot, gauss_offsets
     )
 
@@ -734,7 +804,7 @@ def recon_table_columns(prep: PreprocessOutput):
 
 @functools.lru_cache(maxsize=None)
 def make_segment_gather_recon(capacity, grid_x, grad_cols=None,
-                              carry_bf16=False):
+                              carry_bf16=False, pack_fwd_span=None):
     """segment_gather without a carried slot operand.
 
     The forward sort's dominant cost is per carried operand (measured
@@ -760,9 +830,15 @@ def make_segment_gather_recon(capacity, grid_x, grad_cols=None,
     [:capacity] bound exactly like the padding block used to be.
     """
 
+    def _do_gather(table, gauss_id):
+        if pack_fwd_span is None:
+            return table[gauss_id].T
+        out_p = pack_table_f16(table, pack_fwd_span)[gauss_id].T
+        return unpack_rows_f16(out_p, pack_fwd_span, table.shape[1])
+
     @jax.custom_vjp
     def gather(table, gauss_id, s_tile, pair_valid, gauss_offsets):
-        return table[gauss_id].T
+        return _do_gather(table, gauss_id)
 
     def _slot_from(out_t, s_tile, pair_valid):
         ints = _f32_exact_to_i32(out_t[-4:].T)
@@ -776,7 +852,7 @@ def make_segment_gather_recon(capacity, grid_x, grad_cols=None,
         return jnp.where(pair_valid, base + local, capacity).astype(jnp.int32)
 
     def gather_fwd(table, gauss_id, s_tile, pair_valid, gauss_offsets):
-        out_t = table[gauss_id].T
+        out_t = _do_gather(table, gauss_id)
         return out_t, (_slot_from(out_t, s_tile, pair_valid), gauss_offsets)
 
     def gather_bwd(res, d_out):

@@ -50,7 +50,8 @@ def tile_grid(width: int, height: int, tile_x: int = TILE_X,
 
 
 def _payload_gather(table, segs: AlignedSegments, capacity=None,
-                    grad_cols=None, carry_bf16=False, recon=None):
+                    grad_cols=None, carry_bf16=False, recon=None,
+                    pack_fwd_span=None):
     """table[gauss_id].T (feature-major), with the carry-sort VJP when the
     fused pair build supplied the sort permutation. ``capacity`` (static)
     bounds the real (non-padding) pre-sort slots for the backward;
@@ -71,20 +72,20 @@ def _payload_gather(table, segs: AlignedSegments, capacity=None,
             [table, jax.lax.stop_gradient(recon_cols)], axis=1
         )
         out = make_segment_gather_recon(
-            capacity, grid_x, grad_cols, carry_bf16,
+            capacity, grid_x, grad_cols, carry_bf16, pack_fwd_span,
         )(table2, segs.gauss_id, s_tile, pair_valid, segs.gauss_offsets)
         return out[:-4]
     if segs.orig_slot is not None:
         return segment_gather(
             table, segs.gauss_id, segs.orig_slot, segs.gauss_offsets,
-            capacity, grad_cols, carry_bf16,
+            capacity, grad_cols, carry_bf16, pack_fwd_span,
         )
     return table[segs.gauss_id].T
 
 
 def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int,
                   capacity: int = None, carry_bf16: bool = False,
-                  recon=None):
+                  recon=None, pack_fwd: bool = False):
     """Gather the feature-major blend payload [16, C_aligned + chunk].
 
     A differentiable gather: its VJP scatter-adds payload gradients back to
@@ -102,9 +103,11 @@ def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int,
         axis=1,
     )  # [P, 10] — one wide gather beats ten narrow ones on TPU
     # Only mean2d/conic/rgb (cols 0..8) carry gradients; depth is
-    # stop-gradient and skips the backward reduction.
+    # stop-gradient and skips the backward reduction. pack_fwd packs cols
+    # 2..9 (conic, opacity, rgb, depth) into 4 f16-pair carriers across
+    # the gather (duplicate.pack_table_f16): 10 -> 6 gathered columns.
     feats = _payload_gather(table, segs, capacity, 9, carry_bf16,
-                            recon)  # [10, C]
+                            recon, (2, 10) if pack_fwd else None)  # [10, C]
     feats = jnp.concatenate(
         [feats, jnp.zeros((PAYLOAD_F - 10, ids.shape[0]), jnp.float32)],
         axis=0,
@@ -129,6 +132,7 @@ def render_tiled(
     tile_y: int = TILE_Y,
     pad_capacity=None,
     rank_key: bool = False,
+    pack_fwd: bool = False,
     interpret: bool = False,
 ):
     """GLOBAL-mode tiled render. Returns (color, final_T, n_contrib, pairs).
@@ -170,7 +174,8 @@ def render_tiled(
         (recon_table_columns(prep), pairs.tile_id, pairs.valid, grid_x)
         if use_recon else None
     )
-    payload = build_payload(prep, segs, chunk, capacity, carry_bf16, recon)
+    payload = build_payload(prep, segs, chunk, capacity, carry_bf16, recon,
+                            pack_fwd)
     blend = make_blend_global(grid_x, grid_y, chunk, interpret, tile_x, tile_y)
     packed = blend(payload, segs.starts, segs.counts)
     color, final_t, n_contrib, depth_acc = unpack_image(

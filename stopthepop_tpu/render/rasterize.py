@@ -185,6 +185,7 @@ def _rasterize_impl(
     chunk: int = 128,
     carry_bf16: bool = False,
     rank_key: bool = False,
+    pack_fwd: bool = False,
     batched_cascade: bool = False,
     tile_shape: tuple = None,
     interpret="auto",
@@ -361,6 +362,7 @@ def _rasterize_impl(
             chunk=chunk,
             carry_bf16=carry_bf16,
             rank_key=rank_key,
+            pack_fwd=pack_fwd,
             tile_x=tile_x,
             tile_y=tile_y,
             interpret=interpret,

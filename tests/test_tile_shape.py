@@ -185,3 +185,34 @@ def test_tile_shape_unsupported_size_rejected_for_resort_modes():
     with pytest.raises(NotImplementedError, match="binning tile"):
         r(scene.means3d, None, scene.opacities, shs=scene.shs,
           scales=scene.scales, rotations=scene.rotations)
+
+
+def test_pack_fwd_matches_unpacked():
+    """f16-packed forward payload (duplicate.pack_table_f16): the render
+    must match the unpacked path within f16 rounding of the packed features
+    (conic/opacity/rgb ~5e-4 relative -> a few 1e-3 absolute on the image),
+    and gradients must flow at matching magnitude (they are taken w.r.t.
+    the rounded forward values — mixed precision, not a different math)."""
+    from stopthepop_tpu.render.pipeline import render_tiled
+
+    cam = make_camera(64, 32)
+    scene = random_scene(jax.random.PRNGKey(6), 150)
+    bg = jnp.array([0.15, 0.25, 0.35])
+
+    def run(opacities, pack):
+        prep = _prep(scene._replace(opacities=opacities), cam)
+        img, T, _, pairs, _ = render_tiled(
+            prep, bg, image_width=64, image_height=32, capacity=4096,
+            pack_fwd=pack, interpret=True,
+        )
+        return jnp.sum(img * img), (img, pairs.overflow)
+
+    (l0, (img0, ov0)), g0 = jax.value_and_grad(
+        lambda o: run(o, False), has_aux=True)(scene.opacities)
+    (l1, (img1, ov1)), g1 = jax.value_and_grad(
+        lambda o: run(o, True), has_aux=True)(scene.opacities)
+    assert not bool(ov0) and not bool(ov1)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0), atol=5e-3)
+    g0, g1 = np.asarray(g0), np.asarray(g1)
+    assert np.isfinite(g1).all() and np.abs(g1).max() > 0
+    np.testing.assert_allclose(g1, g0, rtol=0.05, atol=5e-3)
