@@ -114,6 +114,15 @@ def main():
         ),
         "bf16 only": dict(carry_bf16=True),
         "32x16 only": dict(tile_shape=(32, 16)),
+        # Round-5 candidates: the f16-packed forward payload (pack_fwd)
+        # alone and stacked on the winners — it rounds the FORWARD conic/
+        # opacity/rgb to f16 (~5e-4 relative), so this fit gate is its
+        # primary quality evidence.
+        "packfwd only": dict(pack_fwd=True),
+        "winners+packfwd": dict(
+            carry_bf16=True, tile_shape=(32, 16), rank_key=True,
+            pack_fwd=True,
+        ),
     }
     scores = {}
     for name, knobs in configs.items():
@@ -126,9 +135,12 @@ def main():
         }), flush=True)
     delta = scores["winners bf16+32x16+rankkey"] - scores[
         "baseline f32/16x16/slot"]
+    delta_pf = scores["winners+packfwd"] - scores["baseline f32/16x16/slot"]
     print(json.dumps({
         "gate": "PASS" if delta >= -NOISE_DB else "FAIL",
         "delta_db": round(delta, 3),
+        "gate_packfwd": "PASS" if delta_pf >= -NOISE_DB else "FAIL",
+        "delta_packfwd_db": round(delta_pf, 3),
     }), flush=True)
 
 

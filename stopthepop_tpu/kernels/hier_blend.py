@@ -42,6 +42,7 @@ from ..constants import (
     TILE_Y,
 )
 from .full_blend import _bitonic_planes
+from .kbuffer_blend import route_moment_dots
 from .kbuffer_blend import (
     KB_PAYLOAD_F,
     _tile_pixels_lanes,
@@ -1138,22 +1139,16 @@ def _bwd_kernel(
         within = jnp.where(sel, src % chunk, -1)
         onehot1 = (within == sub1).astype(jnp.float32)  # [CH, L]
         wid = (src - lo) // chunk  # window-chunk index where sel
+        # All HIER_WIN_CH window copies (and, under "split", both bf16
+        # halves) stack into ONE dot: [4*16, L] (or [2*4*16, L] = exactly
+        # one 128-row MXU block) vs four separate dot issues.
+        inc = route_moment_dots(
+            [moments * (sel & (wid == wi)).astype(jnp.float32)
+             for wi in range(HIER_WIN_CH)],
+            onehot1, lane, group, route_prec,
+        )
         route_acc = tuple(
-            route_acc[g] + jnp.concatenate(
-                [
-                    jax.lax.dot_general(
-                        lane(moments
-                             * (sel & (wid == wi)).astype(jnp.float32), g),
-                        lane(onehot1, g),
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=route_prec,
-                    )
-                    for wi in range(HIER_WIN_CH)
-                ],
-                axis=1,
-            )
-            for g in range(group)
+            route_acc[g] + inc[g] for g in range(group)
         )  # each [16, WIN*CH]
         # a0 > 0 skips zero-moment staging (ghost/bubble rows in batched
         # cascade mode have alpha 0 and a meaningless src).
@@ -1204,12 +1199,11 @@ def _bwd_kernel(
                         sel = route_g & (chunk_id == r)
                         colm = jnp.where(sel, srcj - r * chunk, -1)
                         onehot_t = (colm == sub1).astype(jnp.float32)
-                        dchunk = jax.lax.dot_general(
-                            lane(moments, g), lane(onehot_t, g),
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=route_prec,
-                        )
+                        dchunk = route_moment_dots(
+                            [moments], onehot_t,
+                            lambda x, _gg, _g=g: lane(x, _g),
+                            1, route_prec,
+                        )[0]
                         off = pl.multiple_of(r * chunk, chunk)
                         dseg[g, :, pl.ds(off, chunk)] += dchunk
                         return 0

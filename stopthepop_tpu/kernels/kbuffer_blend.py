@@ -490,6 +490,60 @@ def moments_to_grads(dm, feat, cx, cy):
     )
 
 
+
+
+def route_moment_dots(masked_moments, onehot, lane, group, route_prec):
+    """One-hot routing contraction shared by the k-buffer and hierarchical
+    backward replays.
+
+    ``masked_moments``: W matrices [GRAD_ROWS, L] (the moment rows, masked
+    per destination window chunk); ``onehot`` [CH, L]; ``lane(x, g)``
+    slices tile g's lane block. Returns per-group [GRAD_ROWS, W*CH]
+    routing increments. All W window copies are STACKED into one tall
+    operand for a single MXU dot — row counts up to 128 ride free on the
+    128x128 systolic array, so one [W*16, L] dot costs the same passes as
+    a [16, L] one while saving W-1 dot issues.
+
+    ``route_prec == "split"`` selects exact bf16-split routing: each
+    moment row is split hi/lo bf16 (m = hi + lo to ~2^-17 relative) and
+    both halves join the stack for ONE 1-pass bf16 dot. The one-hot is
+    exactly representable in bf16, so every product is exact in the f32
+    accumulator and the only error is the hi+lo representation of the
+    moment itself — f32-near-exact at 1-pass cost. (Measured round 5,
+    config 2 k-buffer fwd+bwd: HIGHEST 164.5 ms, plain-DEFAULT 74.7 ms but
+    FAILED the 5e-3 gradient verify at rel 3.4e-2 — split keeps the 1-pass
+    cost with none of the loss; see results_r5/.)"""
+    W = len(masked_moments)
+    rows = masked_moments[0].shape[0]
+    stack = masked_moments[0] if W == 1 else jnp.concatenate(
+        masked_moments, axis=0
+    )  # [W*rows, L]
+    split = route_prec == "split"
+    if split:
+        hi = stack.astype(jnp.bfloat16)
+        loo = (stack - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        stack = jnp.concatenate([hi, loo], axis=0)   # [2*W*rows, L] bf16
+        oh = onehot.astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        oh = onehot
+        prec = route_prec
+    out = []
+    for g in range(group):
+        res = jax.lax.dot_general(
+            lane(stack, g), lane(oh, g),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        if split:
+            res = res[:W * rows] + res[W * rows:]
+        out.append(res if W == 1 else jnp.concatenate(
+            [res[i * rows:(i + 1) * rows] for i in range(W)], axis=1,
+        ))  # [rows, W*CH]
+    return out
+
+
 def _bwd_kernel(
     starts_ref, counts_ref, order_ref, bg_ref, cam_ref,  # scalar prefetch
     payload_ref,                              # HBM [32, C_pad]
@@ -637,12 +691,11 @@ def _bwd_kernel(
                 sel = route_j & (chunk_id == r)
                 colm = jnp.where(sel, src - r * chunk, -1)  # wide [1, L]
                 onehot_w = (colm == sub1w).astype(jnp.float32)  # [CH, L]
-                dchunk = jax.lax.dot_general(
-                    lane(moments, j), lane(onehot_w, j),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=route_prec,
-                )
+                dchunk = route_moment_dots(
+                    [moments], onehot_w,
+                    lambda x, g, _j=j: lane(x, _j),  # route tile j's lanes
+                    1, route_prec,
+                )[0]
                 off = pl.multiple_of(r * chunk, chunk)
                 dseg[j, :, pl.ds(off, chunk)] += dchunk
                 return 0
@@ -681,21 +734,12 @@ def _bwd_kernel(
         whalf = src >= base  # current chunk vs previous
         m_prev = (sel & ~whalf).astype(jnp.float32)
         m_cur = (sel & whalf).astype(jnp.float32)
+        inc = route_moment_dots(
+            [moments * m_prev, moments * m_cur], onehot1, lane, group,
+            route_prec,
+        )
         route_acc = tuple(
-            route_acc[g] + jnp.concatenate(
-                [
-                    jax.lax.dot_general(
-                        lane(moments * m_w, g),
-                        lane(onehot1, g),
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=route_prec,
-                    )
-                    for m_w in (m_prev, m_cur)
-                ],
-                axis=1,
-            )
-            for g in range(group)
+            route_acc[g] + inc[g] for g in range(group)
         )  # each [16, 2*CH]
 
         stale = commit & (src >= 0) & (src < lo)

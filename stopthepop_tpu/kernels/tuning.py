@@ -55,11 +55,18 @@ def resolve_route_precision() -> jax.lax.Precision:
     practice (resorted_render.cuh:351-381), and it is quality-gated by the
     400-iteration fit in benchmarks/quality_defaults.py.
 
-    Override with STP_ROUTE_PRECISION={default,high,highest}; the measured
-    round-5 A/B (same session) lives in PERFORMANCE.md.
+    The default is "split": exact bf16-split routing (see
+    kbuffer_blend.route_moment_dots) — 1-pass MXU cost with ~2^-17
+    relative error. Plain DEFAULT (lossy 1-pass bf16) FAILED the on-chip
+    5e-3 gradient verify at rel 3.4e-2 (results_r5/verify_hier_def);
+    HIGHEST (6-pass) measured 164.5 vs DEFAULT's 74.7 ms on the config-2
+    k-buffer step. Override with
+    STP_ROUTE_PRECISION={split,default,high,highest}; the full measured
+    ladder lives in PERFORMANCE.md.
     """
-    name = os.environ.get("STP_ROUTE_PRECISION", "default").lower()
+    name = os.environ.get("STP_ROUTE_PRECISION", "split").lower()
     return {
+        "split": "split",
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
