@@ -61,13 +61,14 @@ def resolve_route_precision() -> jax.lax.Precision:
     5e-3 gradient verify at rel 3.4e-2 (results_r5/verify_hier_def);
     HIGHEST (6-pass) measured 164.5 vs DEFAULT's 74.7 ms on the config-2
     k-buffer step. Override with
-    STP_ROUTE_PRECISION={split,default,high,highest}; the full measured
-    ladder lives in PERFORMANCE.md.
+    STP_ROUTE_PRECISION={split,default,highest}; the full measured ladder
+    lives in PERFORMANCE.md. (Precision.HIGH is NOT offered: Mosaic
+    rejects it — 'Unsupported dot precision: HIGH',
+    results_r5/prof_kbuf_b_high.log — and split dominates it anyway.)
     """
     name = os.environ.get("STP_ROUTE_PRECISION", "split").lower()
     return {
         "split": "split",
         "default": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]
