@@ -79,8 +79,9 @@ run verify_hier_def 3600 python benchmarks/verify_hier_onchip.py
 # precision ladder (backward replay, per-tile bwd, G=2 fwd)
 run prof_kbuf_b_def 2400 python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 8
 run prof_hier_b_def 3600 python benchmarks/profile_step.py $P2 --mode HIER --top 8
-run prof_kbuf_b_high 2400 env STP_ROUTE_PRECISION=high python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 8
-run prof_hier_b_high 3600 env STP_ROUTE_PRECISION=high python benchmarks/profile_step.py $P2 --mode HIER --top 8
+# (HIGH cells removed: Mosaic rejects Precision.HIGH — 'Unsupported dot
+# precision: HIGH', results_r5/prof_{kbuf,hier}_b_high.log — the finding
+# that motivated the exact bf16-split mode, which dominates it anyway.)
 run prof_kbuf_b_hst 2400 env STP_ROUTE_PRECISION=highest python benchmarks/profile_step.py $P2 --mode PPX_KBUFFER --top 8
 run prof_hier_b_hst 3600 env STP_ROUTE_PRECISION=highest python benchmarks/profile_step.py $P2 --mode HIER --top 8
 
