@@ -37,9 +37,12 @@ def resolve_hier_groups(interpret: bool) -> tuple[int, int]:
     g = int(os.environ.get("STP_HIER_GROUP", "2"))
     if not interpret:
         g = min(2, g)
-    # The backward is NOT clamped: its grouped variant compiled and ran at
-    # G=4 on chip (results_r4/prof_hier_g4 — slower, but no vmem overflow).
-    gb = int(os.environ.get("STP_HIER_GROUP_BWD", "1"))
+    # Backward default G=2 (round 5): with the cheap split-routing dots the
+    # grouped replay WINS (327.4 vs 368.9 ms per-tile at config 2,
+    # results_r5/prof_hier_b_def_g2 vs prof_hier_b_split) — the r4
+    # regression was the routing cost scaling with lane width, now gone.
+    # Not clamped: G=4 compiled and ran on chip (results_r4/prof_hier_g4).
+    gb = int(os.environ.get("STP_HIER_GROUP_BWD", "2"))
     return g, gb
 
 
