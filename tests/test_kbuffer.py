@@ -119,7 +119,7 @@ def test_kbuffer_grouped_tiles_match_ungrouped(group, monkeypatch):
     with zero-count dummy tiles)."""
     w, h = 64, 32  # 4 x 2 = 8 tiles: group=3 exercises padding (8 % 3)
     cam = make_camera(w, h)
-    scene = random_scene(jax.random.PRNGKey(11), 100)
+    scene = random_scene(jax.random.PRNGKey(11), 60)
     prep = _prep(scene, cam)
     bg = jnp.full((3,), 0.1)
     cap = int(count_pairs(prep)) + 64

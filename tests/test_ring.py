@@ -67,7 +67,11 @@ def _setup(sort_order=GlobalSortOrder.Z_DEPTH,
 
 
 @pytest.mark.parametrize(
-    "sort_order", [GlobalSortOrder.Z_DEPTH, GlobalSortOrder.PTD_MAX]
+    "sort_order",
+    [GlobalSortOrder.Z_DEPTH,
+     pytest.param(GlobalSortOrder.PTD_MAX, marks=pytest.mark.slow)],
+    # quick-tier budget: Z_DEPTH smoke-covers the ring; the PTD cell is
+    # slow-tier config-matrix coverage.
 )
 def test_ring_render_matches_single_device(sort_order):
     cam, static, model, cams, mesh = _setup(sort_order)
@@ -87,7 +91,8 @@ def test_ring_render_matches_single_device(sort_order):
 @pytest.mark.parametrize(
     "sort_mode,queues",
     [
-        (SortMode.PPX_KBUFFER, (64, 8, 4)),
+        pytest.param(SortMode.PPX_KBUFFER, (64, 8, 4),
+                     marks=pytest.mark.slow),
         pytest.param(SortMode.HIER, (16, 8, 4), marks=pytest.mark.slow),
     ],
     ids=["kbuffer", "hier"],

@@ -124,9 +124,9 @@ def test_tile_shape_resort_modes_match_16x16(mode):
     grad-row-split writeback (the halves share a segment)."""
     from stopthepop_tpu.render import rasterize
 
-    cam = make_camera(64, 32)
-    scene = random_scene(jax.random.PRNGKey(7), 120)
-    wts = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 64))
+    cam = make_camera(64, 16)  # bin 2x1 -> blend 4x1: 2 parents
+    scene = random_scene(jax.random.PRNGKey(7), 80)
+    wts = jax.random.normal(jax.random.PRNGKey(1), (3, 16, 64))
     rs = _raster_settings(cam, mode)
 
     def loss(opacities, tile_shape):
@@ -187,6 +187,7 @@ def test_tile_shape_unsupported_size_rejected_for_resort_modes():
           scales=scene.scales, rotations=scene.rotations)
 
 
+@pytest.mark.slow
 def test_pack_fwd_matches_unpacked():
     """f16-packed forward payload (duplicate.pack_table_f16): the render
     must match the unpacked path within f16 rounding of the packed features

@@ -132,19 +132,19 @@ def test_tiled_tile_based_culling_close_to_uncull():
 def test_tiled_per_tile_depth_orders_match_oracle():
     from stopthepop_tpu.render.naive import render_global_order_naive
 
-    cam = make_camera(64, 64)
-    scene = random_scene(jax.random.PRNGKey(4), 150)
+    cam = make_camera(48, 48)
+    scene = random_scene(jax.random.PRNGKey(4), 100)
     prep = _prep(scene, cam)
     bg = jnp.array([0.1, 0.2, 0.05])
     cap = int(count_pairs(prep)) + 64
     for order in (GlobalSortOrder.PTD_CENTER, GlobalSortOrder.PTD_MAX):
         img, T, n, pairs, _ = render_tiled(
-            prep, bg, image_width=64, image_height=64, capacity=cap,
+            prep, bg, image_width=48, image_height=48, capacity=cap,
             sort_order=order, campos=cam.campos,
             inverse_vp=cam.inv_viewprojmatrix, interpret=True,
         )
         img_o, T_o, n_o = render_global_order_naive(
-            prep, bg, 64, 64, cam.campos, cam.inv_viewprojmatrix,
+            prep, bg, 48, 48, cam.campos, cam.inv_viewprojmatrix,
             sort_order=order,
         )
         np.testing.assert_allclose(
