@@ -218,32 +218,63 @@ def expand_pairs(
     i = jnp.arange(capacity, dtype=jnp.int32)
     g = jnp.clip(rank_expand(offsets, capacity), 0, P - 1)
 
-    # TPU row-gathers run at a fixed rows/second rate regardless of row
-    # width, so ALL per-Gaussian values ride in ONE wide gather instead of
-    # one per table. Ints are transported as EXACT f32 CONVERTS of 16-bit
-    # halves — NOT bitcasts: small-int f32 bit patterns are denormals and
-    # the TPU gather/vector path flushes them to zero (observed on-chip:
-    # every pair's validity column read back 0, so whole renders collapsed
-    # to background; round-3 execution gate exists because of this).
-    int_cols = [
-        jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-1]]),
-        prep.rect_min[:, 0],
-        prep.rect_min[:, 1],
-        jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
-        prep.valid.astype(jnp.int32),
-    ]
+    # The per-pair gather's cost scales with its COLUMN count (measured:
+    # this fusion was 27.6% of the whole 5M step at 11 gathered columns,
+    # results_r5/prof_global_5m_pf.log + hlo_5m_pf.txt), so ALL per-Gaussian
+    # values ride in ONE gather made as NARROW as possible. Ints are
+    # transported as EXACT f32 CONVERTS — NOT bitcasts: small-int f32 bit
+    # patterns are denormals and the TPU gather/vector path flushes them to
+    # zero (observed on-chip: every pair's validity column read back 0, so
+    # whole renders collapsed to background; the round-3 execution gate
+    # exists because of this). Two transports:
+    #   * value-packed (round 5, the default when static ranges allow):
+    #     base/rank each ride one exact-f32 column (values < 2^24) and the
+    #     rect ints pack bitwise into one column
+    #     (rmin_x | rmin_y<<10 | valid<<20 < 2^21, grids <= 1024) plus
+    #     width — 3-4 columns total;
+    #   * 16-bit halves (fallback for huge capacities/grids): 2 columns
+    #     per int, range-free.
     if rank is not None:
         assert sort_order in (
             GlobalSortOrder.Z_DEPTH, GlobalSortOrder.DISTANCE,
         ), "rank keys need a per-Gaussian depth order"
-        int_cols.append(rank)
+    base_col = jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-1]])
+    width_col = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
+    pack_vals = (
+        capacity < (1 << 24) and P < (1 << 24)
+        and grid_x <= 1024 and grid_y <= 1024
+    )
+    if pack_vals:
+        rect_col = (
+            prep.rect_min[:, 0]
+            | (prep.rect_min[:, 1] << 10)
+            | (prep.valid.astype(jnp.int32) << 20)
+        )
+        # width <= 1024 needs 11 bits and base/rank need up to 24 — width
+        # packs with rect only if grids were <= 512; keep it separate.
+        int_cols = [base_col, rect_col, width_col]
+        if rank is not None:
+            int_cols.append(rank)
+    else:
+        int_cols = [
+            base_col,
+            prep.rect_min[:, 0],
+            prep.rect_min[:, 1],
+            width_col,
+            prep.valid.astype(jnp.int32),
+        ]
+        if rank is not None:
+            int_cols.append(rank)
     ni = len(int_cols)
     int_tab = jnp.stack(int_cols, axis=1)  # [P, ni] (all non-negative)
 
     need_power = tile_based_culling or sort_order == GlobalSortOrder.PTD_MAX
     need_ptd = sort_order in (GlobalSortOrder.PTD_CENTER, GlobalSortOrder.PTD_MAX)
 
-    f_cols = [prep.depth]
+    # Rank-key sorting without per-tile depths never reads the expanded
+    # depth — drop the column from the gather entirely.
+    need_depth = rank is None or need_power or need_ptd
+    f_cols = [prep.depth] if need_depth else []
     if need_power:
         f_cols += [
             prep.mean2d[:, 0],
@@ -256,19 +287,38 @@ def expand_pairs(
         ]
     if need_ptd:
         f_cols += [prep.cov3d_inv9[:, k] for k in range(9)]
-    f_tab = jnp.stack(f_cols, axis=1)  # [P, F]
-    tab = jnp.concatenate([_i32_to_f32_exact(int_tab), f_tab], axis=1)
+    if pack_vals:
+        int_f = int_tab.astype(jnp.float32)  # exact: all values < 2^24
+        n_if = ni
+    else:
+        int_f = _i32_to_f32_exact(int_tab)
+        n_if = 2 * ni
+    if f_cols:
+        tab = jnp.concatenate(
+            [int_f, jnp.stack(f_cols, axis=1)], axis=1
+        )
+    else:
+        tab = int_f
     tg = tab[g]  # the one big gather
-    ig = _f32_exact_to_i32(tg[:, :2 * ni])
-    fg = tg[:, 2 * ni:]
-    base, rmin_x, rmin_y, width, gvalid = (ig[:, k] for k in range(5))
+    fg = tg[:, n_if:]
+    if pack_vals:
+        ig = tg[:, :ni].astype(jnp.int32)  # exact round-trip (< 2^24)
+        base, rect_p, width = (ig[:, k] for k in range(3))
+        rmin_x = rect_p & 1023
+        rmin_y = (rect_p >> 10) & 1023
+        gvalid = rect_p >> 20
+        rank_g = ig[:, 3] if rank is not None else None
+    else:
+        ig = _f32_exact_to_i32(tg[:, :n_if])
+        base, rmin_x, rmin_y, width, gvalid = (ig[:, k] for k in range(5))
+        rank_g = ig[:, 5] if rank is not None else None
     local = i - base
     ty = rmin_y + local // width
     tx = rmin_x + local % width
     tile_id = ty * grid_x + tx
 
     valid = (i < num_rendered) & (gvalid > 0)
-    depth = fg[:, 0]
+    depth = fg[:, 0] if need_depth else None
 
     if need_power:
         conic_opac = fg[:, 3:7]
@@ -303,7 +353,7 @@ def expand_pairs(
     if rank is not None:
         key = (
             (tile_id.astype(jnp.uint32) << rank_bits)
-            | ig[:, 5].astype(jnp.uint32)
+            | rank_g.astype(jnp.uint32)
         )
         key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
         return (
