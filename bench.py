@@ -80,8 +80,9 @@ def main():
     )
     carry_bf16 = os.environ.get("STP_BENCH_BF16", "1") == "1"
     rank_key = os.environ.get("STP_BENCH_RANKKEY", "1") == "1"
-    # f16-packed forward payload (6-column pair gather); quality-gated in
-    # benchmarks/quality_defaults.py before it may default on.
+    # f16-packed forward payload: REJECTED as a default (fit gate FAIL
+    # -1.607 dB and no measured win — PERFORMANCE.md "Negative results");
+    # the knob remains for A/B.
     pack_fwd = os.environ.get("STP_BENCH_PACKFWD", "0") == "1"
     # The paper's tighter culling (rect + tight-opacity bounding) cuts
     # this scene's pairs 1.75M -> 1.28M; the static capacity is sized for
