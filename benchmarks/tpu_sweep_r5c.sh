@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-5 wave 3: the value-packed expansion transport's on-chip A/B at
+# the scales it targets (config 3 + config 4 cost structure). Run AFTER
+# tpu_sweep_r5b.sh drains:
+#   nohup bash benchmarks/tpu_sweep_r5c.sh > /tmp/tpu_sweep_r5c.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="${PYTHONPATH:-}:/root/repo"
+OUT=${OUT:-/root/repo/benchmarks/results_r5}
+mkdir -p "$OUT"
+ITEMS=()
+run() {
+  local name=$1 tmo=$2; shift 2
+  ITEMS+=("$name")
+  if [ -s "$OUT/$name.log" ] && grep -q "^DONE rc=0" "$OUT/$name.log"; then
+    echo "== $name: cached, skip"; return
+  fi
+  echo "== $name: start $(date +%H:%M:%S)"
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "DONE rc=$rc" >> "$OUT/$name.log"
+  echo "== $name: rc=$rc $(date +%H:%M:%S)"
+}
+summary() {
+  echo; echo "== QUEUE SUMMARY ($(date)) =="
+  local bad=0
+  for name in "${ITEMS[@]}"; do
+    if [ ! -s "$OUT/$name.log" ]; then echo "MISSING  $name"; bad=1
+    elif grep -q "^DONE rc=0" "$OUT/$name.log"; then echo "ok       $name"
+    else echo "FAILED   $name"; bad=1; fi
+  done
+  [ $bad -eq 0 ] && echo "QUEUE DRAINED: all items ok" \
+                 || echo "QUEUE NOT CLEAN: see FAILED/MISSING above"
+}
+trap summary EXIT
+timeout 120 python -c "import jax; print(jax.devices())" || {
+  echo "tunnel down, abort"; exit 1; }
+
+P5="--width 1920 --height 1080 --gaussians 5000000 --scale-shift -3.3 --iters 3"
+
+# config 3 with the shippable winners (tile32 + bf16 carriers + rank-key;
+# NO pack_fwd — its fit gate failed) on the value-packed expansion
+run prof_global_5m_vp_fwd 3600 python benchmarks/profile_step.py $P5 --tile 32x16 --carry-bf16 --rank-key --fwd-only --top 25
+run prof_global_5m_vp 4800 python benchmarks/profile_step.py $P5 --tile 32x16 --carry-bf16 --rank-key --top 25 --dump-hlo "$OUT/hlo_5m_vp.txt"
+
+# config 4 cost structure at the final defaults
+run prof_combo_vp 1800 python benchmarks/profile_step.py --tile 32x16 --carry-bf16 --rank-key --top 20
+
+echo "WAVE 3 COMPLETE $(date)"
