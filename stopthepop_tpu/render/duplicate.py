@@ -32,6 +32,7 @@ touches.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -243,6 +244,9 @@ def expand_pairs(
     pack_vals = (
         capacity < (1 << 24) and P < (1 << 24)
         and grid_x <= 1024 and grid_y <= 1024
+        and not os.environ.get("STP_FORCE_HALVES_TRANSPORT")
+        # env knob: test hook for the fallback transport (real triggers —
+        # >=16.7M-pair capacities or >1024-tile grids — exceed test scale)
     )
     if pack_vals:
         rect_col = (

@@ -269,3 +269,27 @@ def test_rank_key_sort_bitwise_identical():
     (l1, img1), g1 = jax.value_and_grad(loss, has_aux=True)(prep.mean2d, True)
     np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+def test_halves_transport_matches_value_packed(monkeypatch):
+    """The expansion gather's two int transports (value-packed default vs
+    16-bit-halves fallback for >=2^24 capacities / >1024-tile grids) must
+    produce identical pair streams — images bitwise equal."""
+    cam = make_camera(48, 48)
+    scene = random_scene(jax.random.PRNGKey(9), 80)
+    prep = _prep(scene, cam)
+    bg = jnp.array([0.2, 0.1, 0.3])
+    cap = int(count_pairs(prep)) + 64
+
+    def run():
+        img, T, n, pairs, _ = render_tiled(
+            prep, bg, image_width=48, image_height=48, capacity=cap,
+            rank_key=True, interpret=True,
+        )
+        return np.asarray(img), np.asarray(T), np.asarray(n)
+
+    packed = run()
+    monkeypatch.setenv("STP_FORCE_HALVES_TRANSPORT", "1")
+    halves = run()
+    for a, b in zip(packed, halves):
+        np.testing.assert_array_equal(a, b)
