@@ -317,8 +317,23 @@ def expand_pairs(
         base, rmin_x, rmin_y, width, gvalid = (ig[:, k] for k in range(5))
         rank_g = ig[:, 5] if rank is not None else None
     local = i - base
-    ty = rmin_y + local // width
-    tx = rmin_x + local % width
+    # Division-free rect decode: XLA lowers s32 vector division on TPU to
+    # a long emulation sequence, and this is the hottest pair-domain
+    # fusion (results_r5/prof_global_5m_vp.log: 15.3 ns/row where the bare
+    # 4-column gather rate is ~4.8). Exact float-reciprocal quotient with
+    # a +-1 integer fixup: for every VALID pair, local < rect_w * rect_h
+    # <= 2^22, so the f32 candidate quotient floor(local * (1/w)) is off
+    # by at most 1 (relative product error ~2^-23) and one remainder-test
+    # round corrects it exactly in int arithmetic. Invalid/padding slots
+    # may decode garbage; their tile_id is overwritten by the sentinel.
+    q = jnp.floor(
+        local.astype(jnp.float32) * (1.0 / width.astype(jnp.float32))
+    ).astype(jnp.int32)
+    r = local - q * width
+    q = q + (r >= width).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    r = local - q * width
+    ty = rmin_y + q
+    tx = rmin_x + r
     tile_id = ty * grid_x + tx
 
     valid = (i < num_rendered) & (gvalid > 0)

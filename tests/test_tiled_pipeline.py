@@ -293,3 +293,29 @@ def test_halves_transport_matches_value_packed(monkeypatch):
     halves = run()
     for a, b in zip(packed, halves):
         np.testing.assert_array_equal(a, b)
+
+
+def test_division_free_rect_decode_exhaustive():
+    """The expand_pairs float-reciprocal quotient must equal // exactly for
+    every reachable (local, width): width in [1, 2048], local < 2^22
+    (rect_w * rect_h bound). Checked on an adversarial grid including the
+    exact multiples where floor(local * (1/w)) is most fragile."""
+    widths = np.concatenate([
+        np.arange(1, 260), np.array([511, 512, 513, 1023, 1024, 2047, 2048])
+    ]).astype(np.int64)
+    # Adversarial locals: around multiples of each width near the 2^22 cap.
+    qs = np.array([0, 1, 2, 3, 100, 4095, 65535, (1 << 22) // 2049])
+    local = (qs[None, :] * widths[:, None]).astype(np.int64)
+    local = np.concatenate([local, local + 1,
+                            np.maximum(local - 1, 0)], axis=1)
+    local = np.minimum(local, (1 << 22) - 1)
+    w = np.broadcast_to(widths[:, None], local.shape)
+
+    lf = local.astype(np.float32)
+    recip = (1.0 / w.astype(np.float32)).astype(np.float32)
+    q = np.floor((lf * recip).astype(np.float32)).astype(np.int64)
+    r = local - q * w
+    q = q + (r >= w) - (r < 0)
+    r = local - q * w
+    np.testing.assert_array_equal(q, local // w)
+    np.testing.assert_array_equal(r, local % w)
