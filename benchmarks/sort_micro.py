@@ -115,6 +115,15 @@ def main():
         "gather n x 5 rows i32": lambda i, a: (
             a[4][:, :5].astype(jnp.int32) + (i % 2))[a[3]].sum()
             .astype(jnp.float32),
+        # Row-scatter WIDTH scaling (round 5): the gradient segment
+        # reduction currently rides carry-sort + cumsum + per-Gaussian
+        # gather (~158 ms at 5M); a direct .at[gauss_id].add of the pair
+        # cotangent rows replaces all three IF row scatter-add runs near
+        # the row-gather rate rather than the serial-loop folklore rate.
+        "scatter-add n x 9 rows (dup idx)": lambda i, a: jnp.zeros(
+            (n, 9)).at[a[6]].add(a[4] + vary(i, a[1])[:, None]).sum(),
+        "scatter-add n x 5 rows (dup idx)": lambda i, a: jnp.zeros(
+            (n, 5)).at[a[6]].add(a[4][:, :5] + vary(i, a[1])[:, None]).sum(),
         "tile histogram (scatter-add)": lambda i, a: jnp.zeros(
             (T,), jnp.int32).at[a[0]].add(1, mode="drop").sum()
             + vary(i, a[1]).sum() * 0,
@@ -147,7 +156,12 @@ def main():
             jax.random.PRNGKey(13), (n,), 0, (1 << rank_bits) - 1, jnp.int32
         ).astype(jnp.uint32)
     )
-    packed = (tile, depth, vals, perm, table, ukey)
+    # Duplicate-bearing indices like gauss_id in the sorted pair stream
+    # (~1.5 pairs per Gaussian at production ratios).
+    gid = jax.random.randint(
+        jax.random.PRNGKey(14), (n,), 0, max(2 * n // 3, 1), jnp.int32
+    )
+    packed = (tile, depth, vals, perm, table, ukey, gid)
     for name, fn in cases.items():
         dt = timed(fn, packed, args.iters)
         print(json.dumps({

@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-5 wave 5: the row-scatter probe (decides the direct-scatter VJP
+# design), a fresh compile gate over the changed dispatch (split routing,
+# grouped-bwd defaults, value-packed transport), and the refreshed micro
+# table. Run AFTER tpu_sweep_r5d.sh drains:
+#   nohup bash benchmarks/tpu_sweep_r5e.sh > /tmp/tpu_sweep_r5e.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="${PYTHONPATH:-}:/root/repo"
+OUT=${OUT:-/root/repo/benchmarks/results_r5}
+mkdir -p "$OUT"
+ITEMS=()
+run() {
+  local name=$1 tmo=$2; shift 2
+  ITEMS+=("$name")
+  if [ -s "$OUT/$name.log" ] && grep -q "^DONE rc=0" "$OUT/$name.log"; then
+    echo "== $name: cached, skip"; return
+  fi
+  echo "== $name: start $(date +%H:%M:%S)"
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "DONE rc=$rc" >> "$OUT/$name.log"
+  echo "== $name: rc=$rc $(date +%H:%M:%S)"
+}
+summary() {
+  echo; echo "== QUEUE SUMMARY ($(date)) =="
+  local bad=0
+  for name in "${ITEMS[@]}"; do
+    if [ ! -s "$OUT/$name.log" ]; then echo "MISSING  $name"; bad=1
+    elif grep -q "^DONE rc=0" "$OUT/$name.log"; then echo "ok       $name"
+    else echo "FAILED   $name"; bad=1; fi
+  done
+  [ $bad -eq 0 ] && echo "QUEUE DRAINED: all items ok" \
+                 || echo "QUEUE NOT CLEAN: see FAILED/MISSING above"
+}
+trap summary EXIT
+timeout 120 python -c "import jax; print(jax.devices())" || {
+  echo "tunnel down, abort"; exit 1; }
+
+run sort_micro2 2400 python benchmarks/sort_micro.py
+run gate_full 10800 python benchmarks/compile_gate.py
+
+echo "WAVE 5 COMPLETE $(date)"
