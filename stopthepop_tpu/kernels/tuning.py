@@ -75,3 +75,16 @@ def resolve_route_precision() -> jax.lax.Precision:
         "default": jax.lax.Precision.DEFAULT,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]
+
+
+def resolve_use_recon() -> bool:
+    """Slot-reconstruction vs carried-slot for the payload gather VJP.
+
+    Recon drops the sort's carried slot operand at the cost of 4 extra
+    gathered recon columns; it was the measured winner in the 2-key-sort
+    era. With the packed rank-key default (ONE sort key) the tradeoff
+    shifts: +1 sort operand costs ~0.5 ns/row while 4 gather columns cost
+    several (sort_micro). STP_RECON=0 selects carried-slot for the A/B;
+    the measured decision lives in PERFORMANCE.md.
+    """
+    return os.environ.get("STP_RECON", "1") == "1"

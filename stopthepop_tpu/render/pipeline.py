@@ -44,6 +44,12 @@ from .preprocess import PreprocessOutput
 SEGMENT_ALIGN = 256
 
 
+def _use_recon():
+    from ..kernels.tuning import resolve_use_recon
+
+    return resolve_use_recon()
+
+
 def tile_grid(width: int, height: int, tile_x: int = TILE_X,
               tile_y: int = TILE_Y):
     return (width + tile_x - 1) // tile_x, (height + tile_y - 1) // tile_y
@@ -149,7 +155,10 @@ def render_tiled(
     # Slot reconstruction drops the sort's carried slot operand (sort cost
     # is per-operand); tile-based culling leaves slot holes, so it keeps
     # the carried slot (see make_segment_gather_recon).
-    use_recon = (not tile_based_culling) and grid_x <= 1024 and grid_y <= 1024
+    from ..kernels.tuning import resolve_use_recon
+
+    use_recon = ((not tile_based_culling) and grid_x <= 1024
+                 and grid_y <= 1024 and resolve_use_recon())
     # Segment alignment must equal the DMA chunk so the backward kernel's
     # full-chunk writes stay within each tile's own segment.
     pairs, segs = build_pairs_aligned(
@@ -289,10 +298,12 @@ def render_tiled_kbuffer(
         rank_key=rank_key,
         tile_x=tile_x,
         tile_y=tile_y,
-        carry_slot=tile_based_culling or bin_gx > 1024 or bin_gy > 1024,
+        carry_slot=(tile_based_culling or bin_gx > 1024
+                    or bin_gy > 1024 or not _use_recon()),
     )
     recon = (
-        None if (tile_based_culling or bin_gx > 1024 or bin_gy > 1024)
+        None if (tile_based_culling or bin_gx > 1024 or bin_gy > 1024
+                 or not _use_recon())
         else (recon_table_columns(prep), pairs.tile_id, pairs.valid, bin_gx)
     )
     payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16,
@@ -440,10 +451,12 @@ def render_tiled_hier(
         rank_key=rank_key,
         tile_x=tile_x,
         tile_y=tile_y,
-        carry_slot=tile_based_culling or bin_gx > 1024 or bin_gy > 1024,
+        carry_slot=(tile_based_culling or bin_gx > 1024
+                    or bin_gy > 1024 or not _use_recon()),
     )
     recon = (
-        None if (tile_based_culling or bin_gx > 1024 or bin_gy > 1024)
+        None if (tile_based_culling or bin_gx > 1024 or bin_gy > 1024
+                 or not _use_recon())
         else (recon_table_columns(prep), pairs.tile_id, pairs.valid, bin_gx)
     )
     payload = build_payload_kbuffer(prep, segs, chunk, capacity, carry_bf16,
