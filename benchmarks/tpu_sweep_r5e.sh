@@ -37,7 +37,16 @@ trap summary EXIT
 timeout 120 python -c "import jax; print(jax.devices())" || {
   echo "tunnel down, abort"; exit 1; }
 
+P5="--width 1920 --height 1080 --gaussians 5000000 --scale-shift -3.3 --iters 3"
+
 run sort_micro2 2400 python benchmarks/sort_micro.py
+
+# recon vs carried-slot under the rank-key sort (the recon decision
+# predates rank-key; 4 recon gather columns vs +1 sort operand)
+run prof_global_5m_ns 4800 env STP_RECON=0 python benchmarks/profile_step.py $P5 --tile 32x16 --carry-bf16 --rank-key --top 12
+run prof_combo_ns 1800 env STP_RECON=0 python benchmarks/profile_step.py --tile 32x16 --carry-bf16 --rank-key --top 12
+run bench_ns 2400 env STP_RECON=0 python bench.py
+
 run gate_full 10800 python benchmarks/compile_gate.py
 
 echo "WAVE 5 COMPLETE $(date)"
