@@ -83,8 +83,10 @@ def resolve_use_recon() -> bool:
     Recon drops the sort's carried slot operand at the cost of 4 extra
     gathered recon columns; it was the measured winner in the 2-key-sort
     era. With the packed rank-key default (ONE sort key) the tradeoff
-    shifts: +1 sort operand costs ~0.5 ns/row while 4 gather columns cost
-    several (sort_micro). STP_RECON=0 selects carried-slot for the A/B;
-    the measured decision lives in PERFORMANCE.md.
+    flipped — measured round 5, same session: carried-slot is better at
+    every scale (5M step 539.2 -> 528.4 ms, headline 25.74 -> 25.81
+    Mpix/s, config-4 combo flat; results_r5/prof_global_5m_ns,
+    bench_ns) — so carried-slot is the DEFAULT and STP_RECON=1 A/Bs the
+    reconstruction path back.
     """
-    return os.environ.get("STP_RECON", "1") == "1"
+    return os.environ.get("STP_RECON", "0") == "1"
