@@ -91,7 +91,8 @@ def _payload_gather(table, segs: AlignedSegments, capacity=None,
 
 def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int,
                   capacity: int = None, carry_bf16: bool = False,
-                  recon=None, pack_fwd: bool = False):
+                  recon=None, pack_fwd: bool = False,
+                  carry_depth: bool = True):
     """Gather the feature-major blend payload [16, C_aligned + chunk].
 
     A differentiable gather: its VJP scatter-adds payload gradients back to
@@ -101,21 +102,23 @@ def build_payload(prep: PreprocessOutput, segs: AlignedSegments, chunk: int,
     past the final segment.
     """
     ids = segs.gauss_id
-    table = jnp.concatenate(
-        [
-            prep.mean2d, prep.conic_opacity, prep.rgb,
-            jax.lax.stop_gradient(prep.depth)[:, None],
-        ],
-        axis=1,
-    )  # [P, 10] — one wide gather beats ten narrow ones on TPU
+    cols = [prep.mean2d, prep.conic_opacity, prep.rgb]
+    if carry_depth:
+        cols.append(jax.lax.stop_gradient(prep.depth)[:, None])
+    table = jnp.concatenate(cols, axis=1)
+    # [P, 10] — one wide gather beats ten narrow ones on TPU. With
+    # carry_depth=False (nothing downstream reads the Depth accumulator)
+    # the depth column is dropped from the gather and its payload row is
+    # zero-padded, so the kernels see the same layout (D accumulates 0).
     # Only mean2d/conic/rgb (cols 0..8) carry gradients; depth is
     # stop-gradient and skips the backward reduction. pack_fwd packs cols
-    # 2..9 (conic, opacity, rgb, depth) into 4 f16-pair carriers across
-    # the gather (duplicate.pack_table_f16): 10 -> 6 gathered columns.
+    # 2.. into f16-pair carriers across the gather
+    # (duplicate.pack_table_f16).
+    nf = table.shape[1]
     feats = _payload_gather(table, segs, capacity, 9, carry_bf16,
-                            recon, (2, 10) if pack_fwd else None)  # [10, C]
+                            recon, (2, nf) if pack_fwd else None)  # [nf, C]
     feats = jnp.concatenate(
-        [feats, jnp.zeros((PAYLOAD_F - 10, ids.shape[0]), jnp.float32)],
+        [feats, jnp.zeros((PAYLOAD_F - nf, ids.shape[0]), jnp.float32)],
         axis=0,
     )
     return jnp.pad(feats, ((0, 0), (0, chunk)))
@@ -139,6 +142,7 @@ def render_tiled(
     pad_capacity=None,
     rank_key: bool = False,
     pack_fwd: bool = False,
+    carry_depth: bool = True,
     interpret: bool = False,
 ):
     """GLOBAL-mode tiled render. Returns (color, final_T, n_contrib, pairs).
@@ -184,7 +188,7 @@ def render_tiled(
         if use_recon else None
     )
     payload = build_payload(prep, segs, chunk, capacity, carry_bf16, recon,
-                            pack_fwd)
+                            pack_fwd, carry_depth)
     blend = make_blend_global(grid_x, grid_y, chunk, interpret, tile_x, tile_y)
     packed = blend(payload, segs.starts, segs.counts)
     color, final_t, n_contrib, depth_acc = unpack_image(

@@ -348,6 +348,13 @@ def _rasterize_impl(
             )
             overflow = pairs.overflow
     elif sort_mode == SortMode.GLOBAL:
+        # The Depth accumulator is only read by render_depth / the Depth
+        # debug viz; when neither is requested, drop its payload column
+        # from the pair-domain gather (depth_acc comes back as zeros and
+        # is reported as None below).
+        need_depth_out = rs.render_depth or (
+            debug_visualization == DebugVisualization.Depth
+        )
         color, final_t, n_contrib, pairs, depth_acc = render_tiled(
             prep,
             rs.bg,
@@ -363,10 +370,13 @@ def _rasterize_impl(
             carry_bf16=carry_bf16,
             rank_key=rank_key,
             pack_fwd=pack_fwd,
+            carry_depth=need_depth_out,
             tile_x=tile_x,
             tile_y=tile_y,
             interpret=interpret,
         )
+        if not need_depth_out:
+            depth_acc = None
         overflow = pairs.overflow
     elif sort_mode == SortMode.PPX_KBUFFER:
         color, final_t, n_contrib, pairs, depth_acc = render_tiled_kbuffer(
