@@ -89,3 +89,20 @@ def random_scene(key, num_gaussians: int, extent: float = 1.5, scale_range=(0.01
     shs = 0.3 * jax.random.normal(ks[4], (num_gaussians, 16, 3))
     colors = jax.random.uniform(ks[5], (num_gaussians, 3))
     return Scene(means, scales, q, opac, shs, colors)
+
+
+def bucket_pair_capacity(prep) -> int:
+    """Pair capacity bucketized to a power of two (min 2048).
+
+    For tests: a scene-exact capacity gives every test a distinct payload
+    shape, so no two tests can share a compiled executable (or a
+    persistent-cache entry). Rounding UP to a coarse bucket is always
+    correct (padding is masked) and collapses the shape space.
+    """
+    from ..render.duplicate import count_pairs
+
+    n = int(count_pairs(prep)) + 64
+    cap = 2048
+    while cap < n:
+        cap *= 2
+    return cap

@@ -10,6 +10,7 @@ from stopthepop_tpu.render.naive import render_global_naive
 from stopthepop_tpu.render.pipeline import render_tiled
 from stopthepop_tpu.render.preprocess import preprocess
 from stopthepop_tpu.utils.testing import make_camera, random_scene
+from stopthepop_tpu.utils.testing import bucket_pair_capacity
 
 
 def _make_losses(cam, scene, w, h, cap, use_sh=False):
@@ -51,7 +52,7 @@ def test_grads_match_oracle(use_sh):
         viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix, campos=cam.campos,
         tanfovx=cam.tanfovx, tanfovy=cam.tanfovy, image_width=w, image_height=h,
     )
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     loss_oracle, loss_tiled = _make_losses(cam, scene, w, h, cap, use_sh)
 
     args = (scene.means3d, scene.scales, scene.rotations, scene.opacities, col)
@@ -80,7 +81,7 @@ def test_bg_gradient():
         viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix, campos=cam.campos,
         tanfovx=cam.tanfovx, tanfovy=cam.tanfovy, image_width=w, image_height=h,
     )
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
 
     def loss_t(bg):
         img, _, _, _, _ = render_tiled(

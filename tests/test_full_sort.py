@@ -10,6 +10,7 @@ from stopthepop_tpu.render.naive import render_full_sort_naive
 from stopthepop_tpu.render.pipeline import render_tiled_full
 from stopthepop_tpu.render.preprocess import preprocess
 from stopthepop_tpu.utils.testing import make_camera, random_scene
+from stopthepop_tpu.utils.testing import bucket_pair_capacity
 
 
 def _prep(scene, cam, **kw):
@@ -41,7 +42,7 @@ def test_full_tiled_matches_oracle(seed, n):
     img_o, T_o, n_o, D_o = render_full_sort_naive(
         prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix
     )
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     img_t, T_t, n_t, pairs, D_t = render_tiled_full(
         prep, bg, image_width=w, image_height=h, capacity=cap,
         campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
@@ -67,7 +68,7 @@ def test_full_tiled_truncation_flags_overflow():
     scene = random_scene(jax.random.PRNGKey(7), 300, extent=0.4)
     prep = _prep(scene, cam)
     bg = jnp.zeros(3)
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     _, _, _, pairs, _ = render_tiled_full(
         prep, bg, image_width=w, image_height=h, capacity=cap,
         campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,

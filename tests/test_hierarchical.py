@@ -13,6 +13,7 @@ from stopthepop_tpu.render.naive import (
 from stopthepop_tpu.render.pipeline import render_tiled_hier
 from stopthepop_tpu.render.preprocess import preprocess
 from stopthepop_tpu.utils.testing import make_camera, random_scene
+from stopthepop_tpu.utils.testing import bucket_pair_capacity
 
 
 def _prep(scene, cam, **kw):
@@ -62,7 +63,7 @@ def test_hier_kernel_matches_oracle(queues):
     img_o, T_o, n_o = render_hierarchical_naive(
         prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix, queue_sizes=queues
     )
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     img_t, T_t, n_t, pairs, _ = render_tiled_hier(
         prep, bg, image_width=w, image_height=h, capacity=cap,
         campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix,
@@ -82,7 +83,7 @@ def test_hier_kernel_4x4_culling_matches_oracle():
     scene = random_scene(jax.random.PRNGKey(9), 100)
     prep = _prep(scene, cam)
     bg = jnp.zeros(3)
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     img_o, T_o, _ = render_hierarchical_naive(
         prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix,
         queue_sizes=(16, 8, 4), hier_4x4_culling=True, tile_based_culling=True,
@@ -184,7 +185,7 @@ def test_hier_default_queues_match_oracle():
     scene = random_scene(jax.random.PRNGKey(21), 400, extent=0.6)
     prep = _prep(scene, cam)
     bg = jnp.array([0.1, 0.05, 0.2])
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     # Sanity: at least one tile stream is deeper than the tail queue.
     from stopthepop_tpu.render.duplicate import rect_histogram
 
@@ -323,7 +324,7 @@ def test_hier_grouped_tiles_match_ungrouped(group, monkeypatch):
     scene = random_scene(jax.random.PRNGKey(11), 60)
     prep = _prep(scene, cam)
     bg = jnp.full((3,), 0.1)
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
 
     def run():
         img, T, nc, _, _ = render_tiled_hier(

@@ -14,6 +14,7 @@ from stopthepop_tpu.render.naive import (
 from stopthepop_tpu.render.pipeline import render_tiled_kbuffer
 from stopthepop_tpu.render.preprocess import preprocess
 from stopthepop_tpu.utils.testing import make_camera, random_scene
+from stopthepop_tpu.utils.testing import bucket_pair_capacity
 
 
 def _prep(scene, cam, **kw):
@@ -45,7 +46,7 @@ def test_kbuffer_kernel_matches_oracle(k):
     img_o, T_o, n_o = render_kbuffer_naive(
         prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix, k=k
     )
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     img_t, T_t, n_t, pairs, _ = render_tiled_kbuffer(
         prep, bg, image_width=w, image_height=h, capacity=cap,
         campos=cam.campos, inverse_vp=cam.inv_viewprojmatrix, k=k,
@@ -91,7 +92,7 @@ def test_kbuffer_sort_orders_and_culling_run():
     scene = random_scene(jax.random.PRNGKey(7), 100)
     prep = _prep(scene, cam)
     bg = jnp.zeros(3)
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     for order in (GlobalSortOrder.DISTANCE, GlobalSortOrder.PTD_CENTER):
         img_o, T_o, _ = render_kbuffer_naive(
             prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix, k=4,
@@ -122,7 +123,7 @@ def test_kbuffer_grouped_tiles_match_ungrouped(group, monkeypatch):
     scene = random_scene(jax.random.PRNGKey(11), 60)
     prep = _prep(scene, cam)
     bg = jnp.full((3,), 0.1)
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
 
     def run():
         img, T, nc, _, _ = render_tiled_kbuffer(

@@ -19,6 +19,7 @@ from stopthepop_tpu.render.duplicate import count_pairs
 from stopthepop_tpu.render.pipeline import render_tiled
 from stopthepop_tpu.render.preprocess import preprocess
 from stopthepop_tpu.utils.testing import make_camera, random_scene
+from stopthepop_tpu.utils.testing import bucket_pair_capacity
 
 
 def _prep(scene, cam, **kw):
@@ -56,7 +57,7 @@ def test_tile_shape_matches_16x16(tile):
     )
 
     prep = _prep(scene, cam, tile_x=tx, tile_y=ty)
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     img, T, _, pairs, _ = render_tiled(
         prep, bg, image_width=64, image_height=64, capacity=cap,
         tile_x=tx, tile_y=ty, interpret=True,

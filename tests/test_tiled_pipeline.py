@@ -12,6 +12,7 @@ from stopthepop_tpu.render.naive import render_global_naive
 from stopthepop_tpu.render.pipeline import render_tiled, tile_grid
 from stopthepop_tpu.render.preprocess import preprocess
 from stopthepop_tpu.utils.testing import make_camera, random_scene
+from stopthepop_tpu.utils.testing import bucket_pair_capacity
 
 
 def _prep(scene, cam, **kw):
@@ -94,7 +95,7 @@ def test_tiled_matches_oracle(size):
     prep = _prep(scene, cam)
     bg = jnp.array([0.2, 0.3, 0.1])
     img_o, T_o, n_o = render_global_naive(prep, bg, w, h)
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     img_t, T_t, n_t, pairs, _ = render_tiled(
         prep, bg, image_width=w, image_height=h, capacity=cap, interpret=True
     )
@@ -114,7 +115,7 @@ def test_tiled_tile_based_culling_close_to_uncull():
     scene = random_scene(jax.random.PRNGKey(3), 200)
     prep = _prep(scene, cam)
     bg = jnp.zeros(3)
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     img_a, _, _, _, _ = render_tiled(
         prep, bg, image_width=64, image_height=64, capacity=cap, interpret=True
     )
@@ -136,7 +137,7 @@ def test_tiled_per_tile_depth_orders_match_oracle():
     scene = random_scene(jax.random.PRNGKey(4), 100)
     prep = _prep(scene, cam)
     bg = jnp.array([0.1, 0.2, 0.05])
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
     for order in (GlobalSortOrder.PTD_CENTER, GlobalSortOrder.PTD_MAX):
         img, T, n, pairs, _ = render_tiled(
             prep, bg, image_width=48, image_height=48, capacity=cap,
@@ -279,7 +280,7 @@ def test_halves_transport_matches_value_packed(monkeypatch):
     scene = random_scene(jax.random.PRNGKey(9), 80)
     prep = _prep(scene, cam)
     bg = jnp.array([0.2, 0.1, 0.3])
-    cap = int(count_pairs(prep)) + 64
+    cap = bucket_pair_capacity(prep)
 
     def run():
         img, T, n, pairs, _ = render_tiled(
