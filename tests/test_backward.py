@@ -44,7 +44,7 @@ def _make_losses(cam, scene, w, h, cap, use_sh=False):
 def test_grads_match_oracle(use_sh):
     w = h = 48
     cam = make_camera(w, h)
-    scene = random_scene(jax.random.PRNGKey(5), 120)
+    scene = random_scene(jax.random.PRNGKey(5), 80)
     col = scene.shs if use_sh else scene.colors
     prep = preprocess(
         scene.means3d, scene.opacities, scales=scene.scales,

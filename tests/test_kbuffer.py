@@ -86,14 +86,20 @@ def test_kbuffer_large_k_approaches_full_sort():
     )
 
 
-def test_kbuffer_sort_orders_and_culling_run():
+@pytest.mark.parametrize(
+    "order",
+    [GlobalSortOrder.DISTANCE,
+     pytest.param(GlobalSortOrder.PTD_CENTER, marks=pytest.mark.slow)],
+    # quick tier smokes one order; the second is slow-tier matrix coverage
+)
+def test_kbuffer_sort_orders_and_culling_run(order):
     w = h = 32
     cam = make_camera(w, h)
     scene = random_scene(jax.random.PRNGKey(7), 100)
     prep = _prep(scene, cam)
     bg = jnp.zeros(3)
     cap = bucket_pair_capacity(prep)
-    for order in (GlobalSortOrder.DISTANCE, GlobalSortOrder.PTD_CENTER):
+    if True:
         img_o, T_o, _ = render_kbuffer_naive(
             prep, bg, w, h, cam.campos, cam.inv_viewprojmatrix, k=4,
             sort_order=order, tile_based_culling=True,
